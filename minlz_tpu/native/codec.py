@@ -1,0 +1,61 @@
+"""ctypes bridge to the native (C++) host block codec.
+
+Returns None from get_codec() until the native codec is built; callers fall
+back to the Python oracle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+from .build import get_lib
+
+_codec = None
+_checked = False
+
+
+class _NativeCodec:
+    def __init__(self, lib):
+        self._lib = lib
+
+    def encode_block(self, src: bytes, level: int) -> bytes:
+        n = len(src)
+        cap = max(n + 16, 32)
+        out = ctypes.create_string_buffer(cap)
+        wrote = self._lib.minlz_encode_block(src, n, out, cap, level)
+        if wrote < 0:
+            raise ValueError(f"native encode failed ({wrote})")
+        return out.raw[:wrote]
+
+    def decode_block(self, src: bytes) -> bytes:
+        from ..minlz import CorruptError
+        from ..oracle.decode import parse_header
+
+        lit_only, want, _ = parse_header(src)
+        out = ctypes.create_string_buffer(max(want, 1))
+        wrote = self._lib.minlz_decode_block(src, len(src), out, want)
+        if wrote < 0:
+            raise CorruptError(f"native decode failed ({wrote})")
+        return out.raw[:wrote]
+
+
+def get_codec():
+    global _codec, _checked
+    if _checked:
+        return _codec
+    _checked = True
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "minlz_encode_block"):
+        return None
+    lib.minlz_encode_block.restype = ctypes.c_long
+    lib.minlz_encode_block.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+    ]
+    lib.minlz_decode_block.restype = ctypes.c_long
+    lib.minlz_decode_block.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    _codec = _NativeCodec(lib)
+    return _codec
