@@ -1,0 +1,292 @@
+"""Seek index codec (chunk 0x40) — parity with reference ``index.go``.
+
+Wire format per SPEC.md §4.12: "s2idx\x00" header, varint totals, delta-coded
+offset arrays, fixed trailer enabling backward search from EOF.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from ..minlz import (
+    CHUNK_TYPE_INDEX,
+    CorruptError,
+    S2_INDEX_HEADER,
+    S2_INDEX_TRAILER,
+    put_uvarint,
+    put_varint,
+    read_uvarint,
+    read_varint,
+)
+
+MAX_INDEX_ENTRIES = (1 << 16) - 1
+# Minimum uncompressed distance between indexed blocks (reference index.go:26).
+MIN_INDEX_DIST = 1 << 20
+
+
+@dataclass
+class Index:
+    """Random-access index over a MinLZ stream.
+
+    ``info`` holds (compressed_offset, uncompressed_offset) pairs in ascending
+    order.  ``est_block_uncomp`` is the modal uncompressed block size used for
+    delta coding.
+    """
+
+    total_uncompressed: int = -1
+    total_compressed: int = -1
+    est_block_uncomp: int = 0
+    info: list = field(default_factory=list)
+
+    # --- Building -----------------------------------------------------------
+
+    def reset(self) -> None:
+        self.total_compressed = -1
+        self.total_uncompressed = -1
+        self.info = []
+        self.est_block_uncomp = 0
+
+    def allocate(self, n: int) -> None:
+        pass  # python lists grow dynamically
+
+    def add(self, compressed_offset: int, uncompressed_offset: int) -> None:
+        """Record a block start.  Entries must be strictly increasing; closer
+        than MIN_INDEX_DIST entries are skipped (reference index.go:80-112)."""
+        if self.info:
+            latest_c, latest_u = self.info[-1]
+            if latest_u == uncompressed_offset:
+                # Update with the latest (equal uncompressed offset).
+                self.info[-1] = (compressed_offset, uncompressed_offset)
+                return
+            if latest_u > uncompressed_offset - MIN_INDEX_DIST:
+                return
+            if latest_c >= compressed_offset or latest_u >= uncompressed_offset:
+                raise ValueError("index offsets must be monotonic")
+        self.info.append((compressed_offset, uncompressed_offset))
+        self._reduce()
+
+    def _reduce(self) -> None:
+        """Keep entry count under the wire-format limit by power-of-2
+        decimation (reference index.go:147-185)."""
+        if len(self.info) < MAX_INDEX_ENTRIES:
+            return
+        keep = self.info[::2]
+        self.info = keep
+
+    # --- Lookup -------------------------------------------------------------
+
+    def find(self, offset: int):
+        """Return (compressed_offset, uncompressed_offset) of the indexed
+        block at or before ``offset`` (uncompressed).  Reference index.go:114.
+        """
+        if self.total_uncompressed < 0:
+            raise CorruptError("index has no total size")
+        if offset > self.total_uncompressed:
+            raise ValueError("offset beyond stream end")
+        if not self.info:
+            return 0, 0
+        lo, hi = 0, len(self.info)
+        # Binary search for the last entry with uncompressed_offset <= offset.
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self.info[mid][1] <= offset:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo == 0:
+            return 0, 0
+        return self.info[lo - 1]
+
+    # --- Wire format --------------------------------------------------------
+
+    def marshal(self) -> bytes:
+        """Serialize as a 0x40 skippable chunk."""
+        est = self.est_block_uncomp or self._estimate_block_size()
+        has_uoff = self._needs_uncompressed_offsets(est)
+        return self._marshal(est, has_uoff)
+
+    def _marshal(self, est: int, has_uoff: bool) -> bytes:
+        body = bytearray()
+        body += S2_INDEX_HEADER
+        body += put_varint(self.total_uncompressed)
+        body += put_varint(self.total_compressed)
+        body += put_varint(est)
+        body += put_varint(len(self.info))
+        body.append(1 if has_uoff else 0)
+
+        if has_uoff:
+            prev_u = 0
+            for i, (_, uoff) in enumerate(self.info):
+                body += put_varint(uoff if i == 0 else uoff - prev_u - est)
+                prev_u = uoff
+
+        cguess = est // 2
+        prev_c = 0
+        for i, (coff, _) in enumerate(self.info):
+            if i == 0:
+                body += put_varint(coff)
+            else:
+                delta = coff - prev_c - cguess
+                body += put_varint(delta)
+                cguess += _trunc_div2(delta)
+            prev_c = coff
+
+        total_size = len(body) + 4 + 4 + 6  # body + chunk hdr + size field + trailer
+        body += total_size.to_bytes(4, "little")
+        body += S2_INDEX_TRAILER
+
+        chunk = bytearray()
+        chunk.append(CHUNK_TYPE_INDEX)
+        chunk += len(body).to_bytes(3, "little")
+        chunk += body
+        return bytes(chunk)
+
+    def _estimate_block_size(self) -> int:
+        if len(self.info) < 2:
+            return self.info[0][1] if self.info else 0
+        deltas = [
+            self.info[i + 1][1] - self.info[i][1]
+            for i in range(len(self.info) - 1)
+        ]
+        deltas.sort()
+        return deltas[len(deltas) // 2]
+
+    def _needs_uncompressed_offsets(self, est: int) -> bool:
+        prev = 0
+        for i, (_, uoff) in enumerate(self.info):
+            if i == 0 and uoff != 0:
+                return True
+            if i > 0 and uoff - prev != est:
+                return True
+            prev = uoff
+        return False
+
+    # --- Loading ------------------------------------------------------------
+
+    @classmethod
+    def load(cls, buf) -> "Index":
+        """Parse an index from a 0x40 chunk (with header) or bare body."""
+        idx = cls()
+        idx._load(buf)
+        return idx
+
+    def _load(self, buf) -> int:
+        buf = bytes(buf)
+        pos = 0
+        if buf[:1] == bytes([CHUNK_TYPE_INDEX]):
+            clen = int.from_bytes(buf[1:4], "little")
+            pos = 4
+            if clen > len(buf) - 4:
+                raise CorruptError("index chunk truncated")
+        if buf[pos : pos + 6] != S2_INDEX_HEADER:
+            raise CorruptError("bad index header")
+        pos += 6
+        self.total_uncompressed, pos = read_varint(buf, pos)
+        self.total_compressed, pos = read_varint(buf, pos)
+        est, pos = read_varint(buf, pos)
+        if est < 0:
+            raise CorruptError("negative EstBlockSize")
+        self.est_block_uncomp = est
+        entries, pos = read_varint(buf, pos)
+        if entries < 0 or entries > MAX_INDEX_ENTRIES:
+            raise CorruptError("invalid entry count")
+        has_uoff = buf[pos]
+        pos += 1
+        if has_uoff not in (0, 1):
+            raise CorruptError("invalid HasUncompressedOffsets")
+
+        uoffs = []
+        prev_u = 0
+        for i in range(entries):
+            if has_uoff:
+                v, pos = read_varint(buf, pos)
+            else:
+                v = 0
+            if i == 0:
+                u = v if has_uoff else 0
+            else:
+                u = prev_u + est + v
+            if i > 0 and u <= prev_u:
+                raise CorruptError("non-monotonic uncompressed offsets")
+            uoffs.append(u)
+            prev_u = u
+
+        coffs = []
+        cguess = est // 2
+        prev_c = 0
+        for i in range(entries):
+            v, pos = read_varint(buf, pos)
+            if i == 0:
+                c = v
+            else:
+                c = prev_c + cguess + v
+                cguess += _trunc_div2(v)
+            if i > 0 and c <= prev_c:
+                raise CorruptError("non-monotonic compressed offsets")
+            coffs.append(c)
+            prev_c = c
+
+        self.info = list(zip(coffs, uoffs))
+
+        # Trailer validation when present.
+        if len(buf) - pos >= 10:
+            size = int.from_bytes(buf[pos : pos + 4], "little")
+            if buf[pos + 4 : pos + 10] != S2_INDEX_TRAILER:
+                raise CorruptError("bad index trailer")
+            pos += 10
+        return pos
+
+    @classmethod
+    def load_stream(cls, f) -> "Index":
+        """Read an index from the tail of a seekable stream, skipping padding
+        and legacy S2 index chunks (reference index.go:416-453)."""
+        f.seek(-10, 2)
+        tail = f.read(10)
+        while True:
+            if tail[4:10] != S2_INDEX_TRAILER:
+                raise CorruptError("no index trailer at stream end")
+            size = int.from_bytes(tail[0:4], "little")
+            f.seek(-size, 2)
+            chunk_hdr = f.read(4)
+            if chunk_hdr[0] == CHUNK_TYPE_INDEX:
+                body = f.read(size - 4)
+                return cls.load(bytes(chunk_hdr) + body)
+            raise CorruptError("trailer does not point at an index chunk")
+
+    # --- Tools --------------------------------------------------------------
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "total_uncompressed": self.total_uncompressed,
+                "total_compressed": self.total_compressed,
+                "est_block_uncomp": self.est_block_uncomp
+                or self._estimate_block_size(),
+                "entries": [
+                    {"compressed": c, "uncompressed": u} for c, u in self.info
+                ],
+            },
+            indent=2,
+        )
+
+    def remove_headers(self) -> bytes:
+        """Strip the chunk header + trailer for compact external storage
+        (reference RemoveIndexHeaders, index.go:581)."""
+        full = self.marshal()
+        return full[4 + 6 : -10]
+
+    @classmethod
+    def restore_headers(cls, body: bytes) -> bytes:
+        inner = S2_INDEX_HEADER + body
+        total_size = len(inner) + 4 + 4 + 6
+        inner += total_size.to_bytes(4, "little") + S2_INDEX_TRAILER
+        chunk = bytearray([CHUNK_TYPE_INDEX])
+        chunk += len(inner).to_bytes(3, "little")
+        chunk += inner
+        return bytes(chunk)
+
+
+def _trunc_div2(v: int) -> int:
+    """Integer-truncating v/2 (toward zero), per the spec's CompressGuess."""
+    return v // 2 if v >= 0 else -((-v) // 2)

@@ -1,0 +1,388 @@
+"""Framed stream reader — parity surface with reference ``reader.go``.
+
+Chunk state machine: 0x02/0x03 MinLZ blocks (+CRC), 0x01 uncompressed, 0xff
+stream id (incl. concatenated-stream resync), 0x20 EOF size validation,
+skippable/user chunk dispatch, Skip without decode, and a ReadSeeker using the
+0x40 index.
+"""
+
+from __future__ import annotations
+
+import io
+
+from .. import block as blockapi
+from ..minlz import (
+    CHUNK_TYPE_EOF,
+    CHUNK_TYPE_INDEX,
+    CHUNK_TYPE_LEGACY_COMPRESSED,
+    CHUNK_TYPE_MINLZ_COMPRESSED,
+    CHUNK_TYPE_MINLZ_COMPRESSED_CRC,
+    CHUNK_TYPE_PADDING,
+    CHUNK_TYPE_STREAM_ID,
+    CHUNK_TYPE_UNCOMPRESSED_DATA,
+    MAGIC_BODY,
+    MAGIC_BODY_S2,
+    MAGIC_BODY_SNAPPY,
+    MAX_BLOCK_SIZE,
+    CorruptError,
+    UnsupportedError,
+    crc,
+    read_uvarint,
+)
+from ..oracle.decode import parse_header
+from .index import Index
+
+
+class Reader:
+    """Streaming MinLZ reader over a file-like object.
+
+    Options (parity with the reference's 6 ReaderOptions):
+      max_block_size            — reject streams with larger declared blocks.
+      ignore_stream_identifier  — allow streams with no leading magic.
+      ignore_crc                — skip CRC validation (fuzz/bench use).
+      user_chunk_cb             — {chunk_id: callable(bytes)} for user chunks.
+      fallback                  — accept Snappy/S2 magics (decode via legacy
+                                  path); off by default.
+    """
+
+    def __init__(
+        self,
+        src,
+        *,
+        max_block_size: int = MAX_BLOCK_SIZE,
+        ignore_stream_identifier: bool = False,
+        ignore_crc: bool = False,
+        user_chunk_cb=None,
+        fallback: bool = False,
+        decoder_backend=None,
+    ):
+        self._src = src
+        self._max_block_size = max_block_size
+        self._ignore_stream_id = ignore_stream_identifier
+        self._ignore_crc = ignore_crc
+        self._user_cb = dict(user_chunk_cb or {})
+        self._fallback = fallback
+        self._backend = decoder_backend
+        self._decoded = b""
+        self._decoded_pos = 0
+        self._block_start = 0  # uncompressed offset of current window start
+        self._read_header = ignore_stream_identifier
+        self._uncompressed_seen = 0
+        self._want_eof = None
+        self._eof = False
+
+    # --- Public API ---------------------------------------------------------
+
+    def read(self, n: int = -1) -> bytes:
+        out = bytearray()
+        while n < 0 or len(out) < n:
+            if self._decoded_pos >= len(self._decoded):
+                if not self._next_block():
+                    break
+            take = len(self._decoded) - self._decoded_pos
+            if n >= 0:
+                take = min(take, n - len(out))
+            out += self._decoded[self._decoded_pos : self._decoded_pos + take]
+            self._decoded_pos += take
+        return bytes(out)
+
+    def readall(self) -> bytes:
+        return self.read(-1)
+
+    def read_byte(self) -> int:
+        b = self.read(1)
+        if not b:
+            raise EOFError("end of stream")
+        return b[0]
+
+    def skip(self, n: int) -> None:
+        """Skip forward ``n`` uncompressed bytes, without decoding whole
+        chunks where possible (reference Skip, reader.go:1034)."""
+        if n < 0:
+            raise ValueError("cannot skip backwards")
+        # First serve from the current decoded window.
+        avail = len(self._decoded) - self._decoded_pos
+        if n <= avail:
+            self._decoded_pos += n
+            return
+        n -= avail
+        self._decoded = b""
+        self._decoded_pos = 0
+        while n > 0:
+            hdr = self._read_exact(4, allow_eof=True)
+            if hdr is None:
+                raise EOFError("skip past end of stream")
+            ctype = hdr[0]
+            clen = int.from_bytes(hdr[1:4], "little")
+            if ctype in (
+                CHUNK_TYPE_MINLZ_COMPRESSED,
+                CHUNK_TYPE_MINLZ_COMPRESSED_CRC,
+            ):
+                payload = self._read_exact(clen)
+                # Peek decoded size from the uvarint header only.
+                dlen = self._block_decoded_len(payload[4:])
+                if dlen > n:
+                    # Decode this block and keep the tail.
+                    self._decode_data_chunk(ctype, payload)
+                    self._decoded_pos = n
+                    return
+                n -= dlen
+                self._uncompressed_seen += dlen
+            elif ctype == CHUNK_TYPE_UNCOMPRESSED_DATA:
+                dlen = clen - 4
+                if dlen > n:
+                    payload = self._read_exact(clen)
+                    self._decode_data_chunk(ctype, payload)
+                    self._decoded_pos = n
+                    return
+                self._skip_src(clen)
+                n -= dlen
+                self._uncompressed_seen += dlen
+            else:
+                self._handle_control_chunk(ctype, clen)
+
+    def decode_concurrent(self, dst, concurrency: int = 0) -> int:
+        """Decode the whole stream into file-like ``dst``; block decode may be
+        batched/fanned out by the backend (reference DecodeConcurrent)."""
+        total = 0
+        while True:
+            if self._decoded_pos < len(self._decoded):
+                data = self._decoded[self._decoded_pos :]
+                dst.write(data)
+                total += len(data)
+                self._decoded_pos = len(self._decoded)
+            if not self._next_block():
+                break
+        return total
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass
+
+    # --- Chunk machinery ----------------------------------------------------
+
+    def _next_block(self) -> bool:
+        """Advance to the next data chunk; returns False at end of stream."""
+        while True:
+            hdr = self._read_exact(4, allow_eof=True)
+            if hdr is None:
+                self._eof = True
+                return False
+            ctype = hdr[0]
+            clen = int.from_bytes(hdr[1:4], "little")
+            if not self._read_header and ctype != CHUNK_TYPE_STREAM_ID:
+                raise CorruptError("stream must start with stream identifier")
+            if ctype in (
+                CHUNK_TYPE_MINLZ_COMPRESSED,
+                CHUNK_TYPE_MINLZ_COMPRESSED_CRC,
+                CHUNK_TYPE_UNCOMPRESSED_DATA,
+            ):
+                payload = self._read_exact(clen)
+                self._decode_data_chunk(ctype, payload)
+                if self._decoded:
+                    return True
+                continue
+            self._handle_control_chunk(ctype, clen)
+
+    def _handle_control_chunk(self, ctype: int, clen: int) -> None:
+        if ctype == CHUNK_TYPE_STREAM_ID:
+            payload = self._read_exact(clen)
+            self._parse_stream_id(payload)
+        elif ctype == CHUNK_TYPE_EOF:
+            payload = self._read_exact(clen)
+            if clen > 10:
+                raise CorruptError("oversized EOF chunk")
+            if clen > 0:
+                want, _ = read_uvarint(payload, 0)
+                if want != self._uncompressed_seen:
+                    raise CorruptError(
+                        f"EOF size mismatch: stream declares {want}, "
+                        f"decoded {self._uncompressed_seen}"
+                    )
+            self._want_eof = None
+        elif ctype == CHUNK_TYPE_LEGACY_COMPRESSED:
+            raise UnsupportedError(
+                "legacy Snappy/S2 compressed chunk (enable fallback decoding)"
+            )
+        elif ctype == CHUNK_TYPE_PADDING or 0x40 <= ctype <= 0x7F:
+            if ctype == CHUNK_TYPE_INDEX and CHUNK_TYPE_INDEX in self._user_cb:
+                payload = self._read_exact(clen)
+                self._user_cb[CHUNK_TYPE_INDEX](payload)
+            else:
+                self._skip_src(clen)
+        elif 0x80 <= ctype <= 0xBF:
+            if ctype in self._user_cb:
+                payload = self._read_exact(clen)
+                self._user_cb[ctype](payload)
+            else:
+                self._skip_src(clen)
+        elif 0xC0 <= ctype <= 0xFD:
+            if ctype in self._user_cb:
+                payload = self._read_exact(clen)
+                self._user_cb[ctype](payload)
+            else:
+                raise UnsupportedError(
+                    f"unsupported non-skippable chunk 0x{ctype:02x}"
+                )
+        else:
+            # 0x04-0x3f reserved non-skippable
+            raise UnsupportedError(f"reserved non-skippable chunk 0x{ctype:02x}")
+
+    def _parse_stream_id(self, payload: bytes) -> None:
+        if len(payload) < 6:
+            raise CorruptError("short stream identifier")
+        magic = payload[:5]
+        if magic == MAGIC_BODY:
+            size_byte = payload[5]
+            if size_byte & 0xC0:
+                raise CorruptError("reserved stream-id bits set")
+            log = (size_byte & 0x0F) + 10
+            if log > 23:
+                raise CorruptError("max block size indicator > 13")
+            declared = 1 << log
+            if declared > self._max_block_size:
+                from ..minlz import TooLargeError
+
+                raise TooLargeError(
+                    f"stream block size {declared} exceeds configured limit"
+                )
+            self._stream_block_size = declared
+        elif payload[:6] in (MAGIC_BODY_SNAPPY, MAGIC_BODY_S2):
+            if not self._fallback:
+                raise UnsupportedError(
+                    "Snappy/S2 stream (enable fallback decoding)"
+                )
+            self._snappy_frame = True
+        else:
+            raise CorruptError("bad stream identifier magic")
+        self._read_header = True
+        # Stream concatenation: size counter resets at each identifier.
+        self._uncompressed_seen = 0
+        self._block_start = 0
+
+    def _decode_data_chunk(self, ctype: int, payload: bytes) -> None:
+        if len(payload) < 4:
+            raise CorruptError("data chunk shorter than its checksum")
+        want_crc = int.from_bytes(payload[:4], "little")
+        body = payload[4:]
+        if ctype == CHUNK_TYPE_UNCOMPRESSED_DATA:
+            if len(body) > self._max_block_size:
+                raise CorruptError("uncompressed chunk exceeds block size")
+            data = body
+            if not self._ignore_crc and crc(data) != want_crc:
+                raise CorruptError("uncompressed data CRC mismatch")
+        else:
+            if ctype == CHUNK_TYPE_MINLZ_COMPRESSED_CRC:
+                if not self._ignore_crc and crc(body) != want_crc:
+                    raise CorruptError("compressed data CRC mismatch")
+            dlen = self._block_decoded_len(body)
+            if dlen > self._max_block_size:
+                raise CorruptError("block exceeds maximum block size")
+            data = self._decode_block(body)
+            if ctype == CHUNK_TYPE_MINLZ_COMPRESSED:
+                if not self._ignore_crc and crc(data) != want_crc:
+                    raise CorruptError("decoded data CRC mismatch")
+        self._block_start = self._uncompressed_seen
+        self._uncompressed_seen += len(data)
+        self._decoded = data
+        self._decoded_pos = 0
+
+    def _decode_block(self, body: bytes) -> bytes:
+        # Stream chunks omit the leading 0x00 marker; reconstruct it for the
+        # block decoder.
+        if self._backend is not None:
+            return self._backend(b"\x00" + body)
+        return blockapi.decode(b"\x00" + body)
+
+    @staticmethod
+    def _block_decoded_len(body: bytes) -> int:
+        v, pos = read_uvarint(body, 0)
+        if v == 0:
+            return len(body) - pos
+        return v
+
+    # --- IO helpers ---------------------------------------------------------
+
+    def _read_exact(self, n: int, allow_eof: bool = False):
+        data = self._src.read(n)
+        if data is None:
+            data = b""
+        if len(data) == 0 and allow_eof:
+            return None
+        while len(data) < n:
+            more = self._src.read(n - len(data))
+            if not more:
+                raise CorruptError(
+                    f"truncated stream: wanted {n} bytes, got {len(data)}"
+                )
+            data += more
+        return data
+
+    def _skip_src(self, n: int) -> None:
+        if hasattr(self._src, "seek"):
+            try:
+                self._src.seek(n, 1)
+                return
+            except (OSError, io.UnsupportedOperation):
+                pass
+        left = n
+        while left > 0:
+            got = self._src.read(min(left, 1 << 20))
+            if not got:
+                raise CorruptError("truncated stream while skipping")
+            left -= len(got)
+
+
+class ReadSeeker(Reader):
+    """Random-access reader over a seekable stream using the 0x40 index
+    (reference ReadSeeker, reader.go:1306)."""
+
+    def __init__(self, src, *, index: Index | None = None, **opts):
+        super().__init__(src, **opts)
+        if index is None:
+            pos = src.tell()
+            try:
+                index = Index.load_stream(src)
+            finally:
+                src.seek(pos)
+        self._index = index
+        self._abs_pos = 0
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 1:
+            offset += self.tell()
+        elif whence == 2:
+            if self._index.total_uncompressed < 0:
+                raise ValueError("stream total size unknown")
+            offset += self._index.total_uncompressed
+        if offset < 0:
+            raise ValueError("negative seek")
+        coff, uoff = self._index.find(offset)
+        self._src.seek(coff)
+        self._decoded = b""
+        self._decoded_pos = 0
+        self._read_header = coff != 0 or self._ignore_stream_id
+        self._uncompressed_seen = uoff
+        self._abs_pos = uoff
+        self.skip(offset - uoff)
+        self._abs_pos = offset
+        return offset
+
+    def tell(self) -> int:
+        return self._block_start + self._decoded_pos if self._decoded else self._abs_pos
+
+    def read(self, n: int = -1) -> bytes:
+        out = super().read(n)
+        self._abs_pos = self._block_start + self._decoded_pos
+        return out
+
+    def read_at(self, offset: int, n: int) -> bytes:
+        self.seek(offset)
+        return self.read(n)
+
+
+def decompress(data, **opts) -> bytes:
+    """One-shot stream decompression convenience."""
+    return Reader(io.BytesIO(data), **opts).readall()

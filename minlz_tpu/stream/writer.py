@@ -1,0 +1,298 @@
+"""Framed stream writer — parity surface with reference ``writer.go``.
+
+The reference parallelizes with per-block goroutines ordered by a channel of
+channels (writer.go:214-272).  Here the equivalent is batch-oriented: whole
+blocks are handed to an encoder backend that may batch many blocks per TPU
+dispatch (``minlz_tpu.ops``) or fan out across host threads (native codec
+releases the GIL), and results are written in submission order.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+from .. import block as blockapi
+from ..minlz import (
+    CHUNK_TYPE_EOF,
+    CHUNK_TYPE_MINLZ_COMPRESSED,
+    CHUNK_TYPE_PADDING,
+    CHUNK_TYPE_UNCOMPRESSED_DATA,
+    DEFAULT_BLOCK_SIZE,
+    LEVEL_BALANCED,
+    MAGIC_CHUNK,
+    MAX_BLOCK_SIZE,
+    MIN_BLOCK_SIZE,
+    crc,
+    put_uvarint,
+)
+from .index import Index
+
+
+def _block_size_log(block_size: int) -> int:
+    log = block_size.bit_length() - 1
+    if 1 << log != block_size:
+        log += 1
+    return log
+
+
+class Writer:
+    """Streaming MinLZ writer.
+
+    Options mirror the reference's ``WriterOption`` set:
+      block_size     — 4KiB..8MiB, rounded up to a power of two in the header.
+      level          — LEVEL_SUPER_FAST..LEVEL_SMALLEST, or 0 for uncompressed.
+      add_index      — append a seek index before EOF on close().
+      padding        — pad final stream to a multiple of this size.
+      concurrency    — number of encoder threads (host path).
+      flush_on_write — flush after every write() call.
+      custom_encoder — callable(src: bytes, level: int) -> bytes | None
+                       (reference WriterCustomEncoder); None output falls back.
+      uncompressed   — always emit uncompressed chunks (reference
+                       WriterUncompressed).
+      index_returned_on_close — if CloseIndex-style retrieval is wanted, use
+                       close(return_index=True).
+    """
+
+    def __init__(
+        self,
+        dst,
+        *,
+        block_size: int = DEFAULT_BLOCK_SIZE,
+        level: int = LEVEL_BALANCED,
+        add_index: bool = True,
+        padding: int = 0,
+        concurrency: int | None = None,
+        flush_on_write: bool = False,
+        custom_encoder=None,
+        uncompressed: bool = False,
+        encoder_backend=None,
+    ):
+        if not MIN_BLOCK_SIZE <= block_size <= MAX_BLOCK_SIZE:
+            raise ValueError(f"block_size {block_size} out of range 4KiB..8MiB")
+        if padding < 0 or padding > (4 << 20):
+            raise ValueError("padding must be 0..4MiB")
+        self._dst = dst
+        self._block_size = block_size
+        self._level = level
+        self._add_index = add_index
+        self._padding = padding
+        self._flush_on_write = flush_on_write
+        self._custom_encoder = custom_encoder
+        self._uncompressed_only = uncompressed
+        self._backend = encoder_backend
+        if concurrency is None:
+            concurrency = min(os.cpu_count() or 1, 8)
+        self._concurrency = max(1, concurrency)
+        self._pool = (
+            ThreadPoolExecutor(self._concurrency)
+            if self._concurrency > 1
+            else None
+        )
+        self._pending = []  # ordered futures / results
+        self._buf = bytearray()
+        self._index = Index() if add_index else None
+        self._written_in = 0  # uncompressed bytes accepted
+        self._written_out = 0  # compressed bytes emitted
+        self._wrote_header = False
+        self._closed = False
+        self._err = None
+
+    # --- Public API ---------------------------------------------------------
+
+    def write(self, data) -> int:
+        """Buffer ``data``; complete blocks are compressed and emitted."""
+        self._check_open()
+        self._buf += data
+        while len(self._buf) >= self._block_size:
+            chunk = bytes(self._buf[: self._block_size])
+            del self._buf[: self._block_size]
+            self._submit_block(chunk)
+        if self._flush_on_write:
+            self.flush()
+        return len(data)
+
+    def read_from(self, src) -> int:
+        """Stream directly from a file-like object (reference ReadFrom)."""
+        self._check_open()
+        total = 0
+        while True:
+            data = src.read(self._block_size)
+            if not data:
+                break
+            total += len(data)
+            self.write(data)
+        return total
+
+    def encode_buffer(self, data) -> None:
+        """Zero-copy-ish path for a large contiguous buffer (reference
+        EncodeBuffer, writer.go:441): submits every full block without
+        intermediate buffering."""
+        self._check_open()
+        data = memoryview(data)
+        if self._buf:
+            # Mixed use: fall back to the buffering path.
+            self.write(data)
+            return
+        pos = 0
+        n = len(data)
+        while n - pos >= self._block_size:
+            self._submit_block(bytes(data[pos : pos + self._block_size]))
+            pos += self._block_size
+        self._buf += data[pos:]
+
+    def add_user_chunk(self, chunk_id: int, data=b"") -> None:
+        """Emit a user chunk (0x80-0xfd).  Reference AddUserChunk."""
+        self._check_open()
+        if not 0x80 <= chunk_id <= 0xFD:
+            raise ValueError("user chunk id must be 0x80..0xfd")
+        if len(data) > (16 << 20):
+            raise ValueError("user chunk larger than 16MB")
+        self._drain()
+        self._emit_raw_chunk(chunk_id, bytes(data))
+
+    def flush(self) -> None:
+        """Compress and emit all buffered data (partial block included)."""
+        self._check_open()
+        if self._buf:
+            chunk = bytes(self._buf)
+            self._buf.clear()
+            self._submit_block(chunk)
+        self._drain()
+        if hasattr(self._dst, "flush"):
+            self._dst.flush()
+
+    def close(self, return_index: bool = False):
+        """Flush, then emit EOF (+ optional index and padding) and close.
+
+        With return_index=True the index is returned instead of being
+        appended (reference CloseIndex)."""
+        if self._closed:
+            return None
+        self.flush()
+        idx = self._index
+        # EOF chunk with total uncompressed size.
+        eof_payload = put_uvarint(self._written_in)
+        self._emit_raw_chunk(CHUNK_TYPE_EOF, eof_payload)
+        if idx is not None:
+            idx.total_uncompressed = self._written_in
+            idx.total_compressed = self._written_out
+        if self._add_index and not return_index and idx is not None and idx.info:
+            idx.est_block_uncomp = self._block_size
+            # total_compressed counts everything before the index chunk.
+            idx.total_compressed = self._written_out
+            self._write_out(idx.marshal())
+        if self._padding > 1:
+            self._emit_padding()
+        self._closed = True
+        if self._pool:
+            self._pool.shutdown(wait=False)
+        return idx if return_index else None
+
+    def written(self):
+        """(uncompressed_in, compressed_out) byte counters."""
+        return self._written_in, self._written_out
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # --- Internals ----------------------------------------------------------
+
+    def _check_open(self):
+        if self._closed:
+            raise ValueError("writer is closed")
+        if self._err:
+            raise self._err
+
+    def _ensure_header(self):
+        if not self._wrote_header:
+            self._wrote_header = True
+            # [0xff][len=6 LE24]["MinLz"][block size indicator] (SPEC.md §4.1)
+            size_ind = _block_size_log(self._block_size) - 10
+            self._write_out(MAGIC_CHUNK + bytes([size_ind]))
+
+    def _submit_block(self, data: bytes):
+        self._ensure_header()
+        uoff = self._written_in
+        self._written_in += len(data)
+        if self._pool is not None and self._backend is None:
+            fut = self._pool.submit(self._encode_one, data)
+            self._pending.append((fut, len(data), uoff))
+            # Bound memory: keep at most 2x concurrency blocks in flight.
+            while len(self._pending) > 2 * self._concurrency:
+                self._drain_one()
+        else:
+            self._pending.append((self._encode_one(data), len(data), uoff))
+            self._drain_one()
+
+    def _encode_one(self, data: bytes):
+        """Compress one block; returns the full chunk bytes (header+payload)."""
+        if self._uncompressed_only:
+            comp = None
+        else:
+            comp = None
+            if self._custom_encoder is not None:
+                comp = self._custom_encoder(data, self._level)
+            if comp is None:
+                comp = blockapi.encode(data, self._level)
+                # Strip the leading 0x00 marker: stream chunks store the block
+                # without the MinLZ indicator byte (SPEC.md §4.4).
+                comp = comp[1:]
+            else:
+                comp = comp[1:] if comp[:1] == b"\x00" else comp
+            if len(comp) >= len(data):
+                comp = None
+        c = crc(data)
+        if comp is None:
+            payload = c.to_bytes(4, "little") + data
+            ctype = CHUNK_TYPE_UNCOMPRESSED_DATA
+        else:
+            payload = c.to_bytes(4, "little") + comp
+            ctype = CHUNK_TYPE_MINLZ_COMPRESSED
+        chunk = bytes([ctype]) + len(payload).to_bytes(3, "little") + payload
+        return chunk
+
+    def _drain_one(self):
+        if not self._pending:
+            return
+        item, usize, uoff = self._pending.pop(0)
+        chunk = item.result() if hasattr(item, "result") else item
+        if self._index is not None:
+            self._index.add(self._written_out, uoff)
+        self._write_out(chunk)
+
+    def _drain(self):
+        while self._pending:
+            self._drain_one()
+
+    def _emit_raw_chunk(self, chunk_id: int, payload: bytes):
+        self._ensure_header()
+        chunk = bytes([chunk_id]) + len(payload).to_bytes(3, "little") + payload
+        self._write_out(chunk)
+
+    def _emit_padding(self):
+        # Pad stream to a multiple of self._padding (reference
+        # calcSkippableFrame, writer.go:1135).
+        pad = (-self._written_out) % self._padding
+        if pad == 0:
+            return
+        if pad < 4:
+            pad += self._padding
+        payload = bytes(pad - 4)
+        self._emit_raw_chunk(CHUNK_TYPE_PADDING, payload)
+
+    def _write_out(self, data: bytes):
+        self._dst.write(data)
+        self._written_out += len(data)
+
+
+def compress(data, **opts) -> bytes:
+    """One-shot stream compression convenience."""
+    buf = io.BytesIO()
+    with Writer(buf, **opts) as w:
+        w.encode_buffer(data)
+    return buf.getvalue()
