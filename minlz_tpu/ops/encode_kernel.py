@@ -1,0 +1,242 @@
+"""Batched segment encode: sort-based match finding + lockstep greedy parse.
+
+TPU-first redesign of the reference's hash-table LZ77 (encode_l1.go:39):
+
+  * Candidate finding: instead of a sequential single-slot hash table, one
+    lexicographic sort of (hash, position) over the WHOLE block.  The sorted
+    predecessor with equal hash and equal 4-byte value IS what a perfect
+    collision-free table would have returned — the most recent previous
+    occurrence — computed for every position at once.
+  * Match extension: byte-exact lengths from runs of consecutive
+    same-distance candidates, counted by log-doubling over static shifts
+    (no gathers anywhere).
+  * Greedy parse: a position-lockstep scan per segment (state = skip
+    counter, repeat offset) picks tokens like the reference's greedy loop
+    but vectorized across segments.
+  * Serialization emits per-segment token streams that concatenate into one
+    legal MinLZ block body; parse hints (chunk 0x88) record each segment's
+    (comp_off, out_off).
+
+Matches may REFERENCE any earlier position in the block (full window, same
+as the reference), but never extend past their own segment's end — segments
+stay independently parseable, and the decode executor resolves
+cross-segment references by processing segments in order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..minlz import put_uvarint
+from ..oracle import encode as oenc
+
+# Segment size (positions per lane); must match the decode hint segmentation.
+SEG = 4096
+_HASH_BITS = 18
+_POS_BITS = 13  # SEG <= 8192
+_PRIME4 = np.uint32(2654435761)
+
+
+def find_matches_dyn(data_flat, n, seg: int = SEG):
+    """data_flat: [1, N] int32 bytes of the whole block (N = padded);
+    ``n`` may be a traced scalar (shard_map / vmap use).
+
+    Candidate search runs over the WHOLE block (matches may reference any
+    earlier position, like the reference's single hash table over the full
+    8MiB window), via one lexicographic sort by (hash, position).  Lengths
+    are byte-exact same-distance runs counted with log-doubling.  Returns
+    (off, length) as [1, N] int32; length is capped so no match crosses a
+    segment boundary (the decode-parallel unit).
+    """
+    N = data_flat.shape[1]
+    d = data_flat.astype(jnp.uint32)
+    v0 = (
+        d
+        | jnp.roll(d, -1, axis=1) << 8
+        | jnp.roll(d, -2, axis=1) << 16
+        | jnp.roll(d, -3, axis=1) << 24
+    )
+    h = ((v0 * _PRIME4) >> (32 - _HASH_BITS)).astype(jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (1, N))
+    valid = pos <= n - 4
+    # Invalid positions get unique out-of-range hashes so they never match.
+    h = jnp.where(valid, h, (1 << _HASH_BITS) + pos)
+
+    h_s, pos_s, v0_s = jax.lax.sort(
+        (h, pos, v0.astype(jnp.int32)), dimension=1, num_keys=2
+    )
+    idx = jnp.arange(N)[None, :]
+    cands = []
+    for back in (1, 2, 3):
+        prev_pos = jnp.roll(pos_s, back, axis=1)
+        prev_h = jnp.roll(h_s, back, axis=1)
+        prev_v0 = jnp.roll(v0_s, back, axis=1)
+        ok = (h_s == prev_h) & (v0_s == prev_v0) & (idx >= back)
+        cands.append(jnp.where(ok, prev_pos, -1))
+
+    # Unsort: sort by position (unique) restores stream order.
+    unsorted = jax.lax.sort((pos_s, *cands), dimension=1, num_keys=1)
+    cands = unsorted[1:]
+
+    best_dist = jnp.zeros_like(pos)
+    best_len = jnp.zeros_like(pos)
+    for cand in cands:
+        dist = jnp.where(cand >= 0, pos - cand, 0)
+        # Spec cap: Copy3 reaches at most 2,162,687 back.
+        dist = jnp.where(dist <= (1 << 21) + 65535, dist, 0)
+        # Byte-exact length: run of consecutive same-distance candidates
+        # counted with log-doubling (invariant: runs = min(true_run, shift)).
+        dist1 = jnp.roll(dist, -1, axis=1)
+        ext = (dist > 0) & (dist1 == dist) & (pos + 5 <= n)
+        runs = ext.astype(jnp.int32)
+        shift = 1
+        while shift * 2 <= N:
+            carry = jnp.roll(runs, -shift, axis=1)
+            runs = runs + jnp.where(runs == shift, carry, 0)
+            shift *= 2
+        length = jnp.where(dist > 0, 4 + runs, 0)
+        better = length > best_len
+        best_dist = jnp.where(better, dist, best_dist)
+        best_len = jnp.where(better, length, best_len)
+
+    # No match may cross its segment end (decode-parallel boundary) nor the
+    # block end.
+    seg_room = seg - (pos % seg)
+    best_len = jnp.minimum(best_len, jnp.minimum(seg_room, n - pos))
+    best_len = jnp.where(best_len >= 4, best_len, 0)
+    return best_dist, best_len
+
+
+@functools.partial(jax.jit, static_argnames=("n", "seg"))
+def find_matches(data_flat, n: int, seg: int = SEG):
+    """jit-cached wrapper of find_matches_dyn for static block sizes."""
+    return find_matches_dyn(data_flat, n, seg)
+
+
+@functools.partial(jax.jit, static_argnames=("seg",))
+def greedy_parse(off, length, seg: int = SEG):
+    """Lockstep greedy token selection over [B, seg] per-segment lanes.
+
+    Returns per-position arrays: take (a copy token starts), tok_off,
+    tok_len, is_rep (offset equals the lane's previous copy offset).
+    """
+    B = off.shape[0]
+
+    def step(carry, inp):
+        skip, rep = carry
+        o, l = inp
+        take = (skip == 0) & (l >= 4)
+        tok_off = jnp.where(take, o, 0)
+        tok_len = jnp.where(take, l, 0)
+        is_rep = take & (o == rep)
+        new_skip = jnp.where(take, l - 1, jnp.maximum(skip - 1, 0))
+        new_rep = jnp.where(take, o, rep)
+        return (new_skip, new_rep), (
+            take.astype(jnp.int32),
+            tok_off,
+            tok_len,
+            is_rep.astype(jnp.int32),
+        )
+
+    skip0 = jnp.zeros((B,), jnp.int32)
+    rep0 = jnp.full((B,), -1, jnp.int32)
+    (_, _), outs = jax.lax.scan(step, (skip0, rep0), (off.T, length.T))
+    take, tok_off, tok_len, is_rep = (o.T for o in outs)
+    return take, tok_off, tok_len, is_rep
+
+
+def serialize_segment(src: bytes, take, tok_off, tok_len, is_rep) -> bytes:
+    """Emit the MinLZ token stream for one segment from parse arrays.
+
+    Token choice mirrors the reference greedy encoder's decision tree
+    (internal/reference/encoder.go:174-221): fused literals when possible,
+    repeat when the offset matches, otherwise the smallest copy op.
+    """
+    dst = bytearray()
+    n = len(src)
+    rows = np.nonzero(take[: n])[0]
+    lit_start = 0
+    rep = -1
+    for p in rows:
+        p = int(p)
+        off = int(tok_off[p])
+        ln = int(tok_len[p])
+        lits = src[lit_start:p]
+        if is_rep[p]:
+            if lits:
+                oenc.emit_literals(dst, lits)
+            oenc.emit_repeat(dst, ln)
+        else:
+            can_fuse = (
+                lits
+                and off >= 64
+                and off != rep
+                and (len(lits) <= 3 or (off <= 65599 and len(lits) <= 4))
+            )
+            if can_fuse:
+                if off <= 65599:
+                    oenc.emit_fused2(dst, lits, off, ln)
+                else:
+                    oenc.emit_copy3(dst, off, ln, lits)
+            else:
+                if lits:
+                    oenc.emit_literals(dst, lits)
+                if off == rep:
+                    oenc.emit_repeat(dst, ln)
+                elif off <= 1024:
+                    oenc.emit_copy1(dst, off, ln)
+                elif off <= 65599:
+                    oenc.emit_copy2(dst, off, ln)
+                else:
+                    oenc.emit_copy3(dst, off, ln)
+            rep = off
+        lit_start = p + ln
+    if lit_start < n:
+        oenc.emit_literals(dst, src[lit_start:])
+    return bytes(dst)
+
+
+def encode_block_device(data: bytes, seg: int = SEG):
+    """Encode one block as concatenated segments with a shared match window.
+
+    Returns (block_bytes, hints) where hints is a list of
+    (comp_offset_in_body, out_offset) segment starts for chunk-0x88 emission.
+    Returns (None, None) when the data does not compress.
+    """
+    n = len(data)
+    if n == 0:
+        return b"\x00", []
+    nseg = -(-n // seg)
+    N = nseg * seg
+    flat = np.zeros(N, np.uint8)
+    flat[:n] = np.frombuffer(data, np.uint8)
+
+    dist, length = find_matches(
+        jnp.asarray(flat, dtype=jnp.int32)[None, :], n, seg
+    )
+    dist = dist.reshape(nseg, seg)
+    length = length.reshape(nseg, seg)
+    take, tok_off, tok_len, is_rep = greedy_parse(dist, length, seg)
+    take = np.asarray(take)
+    tok_off = np.asarray(tok_off)
+    tok_len = np.asarray(tok_len)
+    is_rep = np.asarray(is_rep)
+
+    body = bytearray()
+    hints = []
+    for i in range(nseg):
+        sl = min(seg, n - i * seg)
+        hints.append((len(body), i * seg))
+        body += serialize_segment(
+            data[i * seg : i * seg + sl],
+            take[i], tok_off[i], tok_len[i], is_rep[i],
+        )
+    if len(body) >= n:
+        # Spec: compressed body must be smaller than the decompressed block;
+        # caller falls back to the uncompressed representation.
+        return None, None
+    return b"\x00" + put_uvarint(n) + bytes(body), hints

@@ -1,0 +1,323 @@
+"""Pallas TPU kernels for batched segment decode.
+
+Parse: the transducer from ``transducer.py`` runs inside a kernel —
+one fori_loop step per compressed byte row, state held in VMEM scratch that
+persists across grid steps (TPU grids are sequential per core).  Compressed
+bytes arrive packed 4-per-int32; the byte extraction shift is lane-uniform,
+so no per-lane addressing is ever needed.
+
+Execute: a scalar loop walks compacted op records; each op becomes one or a
+few 128-wide vector row moves at scalar-computed offsets.  Overlapping (RLE)
+copies build the period pattern once and extend it with an in-vreg
+``dynamic_gather`` (``take_along_axis`` within a 128 lane window) — the TPU's
+native shuffle — so runs replicate at vector speed.
+
+Performance shape (v5e measurements): transducer ~86M rows/s at ~10 ops/row;
+scalar loop ~40-70M iters/s.  The executor's op-granular scalar loop is the
+current bottleneck (~level-dependent 150-500 MB/s); the roadmap replaces it
+with windowed-gather literal placement + vectorized copy resolution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .transducer import STATE_FIELDS, parse_step
+
+# Lanes per batch and sublane grouping: B = SUB * 128.
+SUB = 2
+B_LANES = SUB * 128
+# Output bytes per segment (the encoder's hint segmentation unit).
+SEG_OUT = 4096
+# Parse row tile (bytes per grid step).
+ROW_TILE = 512
+# Executor op tile.
+OP_TILE = 2048
+# Safety margin so 256-byte window loads never read out of bounds.
+MARGIN = 384
+
+_N_FIELDS = len(STATE_FIELDS)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# --------------------------------------------------------------------------
+# Phase 1: parse
+# --------------------------------------------------------------------------
+
+def _parse_kernel(lens_ref, comp_ref, kind_ref, dst_ref, len_ref, src_ref,
+                  state_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        for i, f in enumerate(STATE_FIELDS):
+            init = 1 if f == "rep" else 0
+            state_ref[i] = jnp.full((SUB, 128), init, jnp.int32)
+
+    st = {f: state_ref[i] for i, f in enumerate(STATE_FIELDS)}
+    lens = lens_ref[0]
+
+    def body(r, st):
+        row = t * ROW_TILE + r
+        word = comp_ref[r >> 2]
+        byte = (word >> ((row & 3) * 8)) & 255
+        active = row < lens
+        st, (opk, opd, opl, ops) = parse_step(st, byte, active, row)
+        kind_ref[r] = opk
+        dst_ref[r] = opd
+        len_ref[r] = opl
+        src_ref[r] = ops
+        return st
+
+    st = jax.lax.fori_loop(0, ROW_TILE, body, st)
+    for i, f in enumerate(STATE_FIELDS):
+        state_ref[i] = st[f]
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def parse_segments_pallas(comp_words, lens, n_rows: int):
+    """comp_words: [n_rows//4, SUB, 128] int32 packed bytes (column-major
+    per lane).  lens: [SUB, 128] compressed byte counts.  Returns op arrays
+    [n_rows, SUB, 128]."""
+    grid = (n_rows // ROW_TILE,)
+    out_shape = jax.ShapeDtypeStruct((n_rows, SUB, 128), jnp.int32)
+    kernel = pl.pallas_call(
+        _parse_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, SUB, 128), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_TILE // 4, SUB, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ROW_TILE, SUB, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 4,
+        out_shape=[out_shape] * 4,
+        scratch_shapes=[pltpu.VMEM((_N_FIELDS, SUB, 128), jnp.int32)],
+        interpret=_interpret(),
+    )
+    return kernel(lens[None], comp_words)
+
+
+# --------------------------------------------------------------------------
+# Phase 2: execute
+# --------------------------------------------------------------------------
+
+def _make_exec_kernel(seg_rows: int, comp_rows_per_lane: int):
+    """Build the executor kernel for a given segment geometry.
+
+    ops_ref: [OP_TILE*4] int32 in SMEM — (lane | kind<<16, dst, len, src)*.
+    comp_ref: [B*PC/128, 128] int32 bytes, 128-byte rows, per-lane regions.
+    out_ref:  [n_out_rows, 128] int32 bytes — the WHOLE block contiguous
+              (lane i's segment occupies rows [i*seg_rows, (i+1)*seg_rows)),
+              so copies may reference any earlier position in the block
+              (cross-segment back-references, full MinLZ window).
+
+    Mosaic supports a dynamic index on ONE dimension only, so all buffers are
+    flat 128-byte rows; every move is a full-row load/store at a dynamic row
+    index.  Misaligned sources are realigned with two in-vreg dynamic gathers
+    (the native 128-lane shuffle); stores are masked RMW.
+    """
+
+    def _exec_kernel(ops_ref, comp_ref, out_ref):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+        def make_window(ref, base_row):
+            def window(s_start):
+                """(8,128) vector v[j] = stream[s_start + j] via two aligned
+                row loads + gather-merge.  s_start may be negative (those
+                lanes are always masked out by the caller)."""
+                s_row = jnp.maximum(s_start // 128, 0)
+                m = s_start - s_row * 128
+                a = jnp.broadcast_to(
+                    ref[pl.ds(base_row + s_row, 1), :], (8, 128)
+                )
+                b = jnp.broadcast_to(
+                    ref[pl.ds(base_row + s_row + 1, 1), :], (8, 128)
+                )
+                idx = iota + m
+                va = jnp.take_along_axis(a, idx & 127, axis=1)
+                vb = jnp.take_along_axis(b, idx & 127, axis=1)
+                return jnp.where(idx < 128, va, vb)
+
+            return window
+
+        def do_op(i, _):
+            lk = ops_ref[i * 4]
+            lane = lk & 0xFFFF
+            kind = lk >> 16
+            # Output positions are global within the block.
+            gdst = lane * (seg_rows * 128) + ops_ref[i * 4 + 1]
+            ln = ops_ref[i * 4 + 2]
+            src = ops_ref[i * 4 + 3]
+
+            comp_win = make_window(comp_ref, lane * comp_rows_per_lane)
+            out_win = make_window(out_ref, 0)
+
+            def blocks_loop(value_for_block):
+                """Write value_for_block(d0)[j] over aligned 128-blocks of
+                [gdst, gdst+ln) with head/tail RMW masking."""
+
+                def body(d0):
+                    v = value_for_block(d0)
+                    row = pl.ds(d0 // 128, 1)
+                    mask = (iota + d0 >= gdst) & (iota + d0 < gdst + ln)
+                    cur = jnp.broadcast_to(out_ref[row, :], (8, 128))
+                    sel = jnp.where(mask, v, cur)
+                    out_ref[row, :] = sel[0:1]
+                    return d0 + 128
+
+                jax.lax.while_loop(
+                    lambda d0: d0 < gdst + ln, body, (gdst // 128) * 128
+                )
+
+            @pl.when(kind == 1)
+            def _lit():
+                # Literal run from this lane's compressed stream.
+                blocks_loop(lambda d0: comp_win(src + (d0 - gdst)))
+
+            @pl.when(kind == 2)
+            def _copy():
+                off = src
+                sbase = gdst - off
+
+                @pl.when(off >= 128)
+                def _far():
+                    blocks_loop(lambda d0: out_win(sbase + (d0 - gdst)))
+
+                @pl.when(off < 128)
+                def _near():
+                    # Periodic RLE: out[gdst+j] = pattern[j % off].
+                    pattern = out_win(sbase)
+                    blocks_loop(
+                        lambda d0: jnp.take_along_axis(
+                            pattern, (iota + (d0 - gdst)) % off, axis=1
+                        )
+                    )
+
+            return 0
+
+        jax.lax.fori_loop(0, OP_TILE, do_op, 0)
+
+    return _exec_kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_ops", "pc", "n_out_rows", "seg_rows")
+)
+def execute_ops_pallas(ops, comp_bytes, n_ops: int, pc: int,
+                       n_out_rows: int, seg_rows: int):
+    """ops: [n_ops, 4] int32 (padded, kind 0 = no-op).  comp_bytes:
+    [B*pc/128, 128] int32.  Returns out [n_out_rows, 128] int32 bytes."""
+    grid = (n_ops // OP_TILE,)
+    n_crows = B_LANES * pc // 128
+    ops = ops.reshape(-1)
+    kernel = pl.pallas_call(
+        _make_exec_kernel(seg_rows, pc // 128),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((OP_TILE * 4,), lambda t: (t,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_crows, 128), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_out_rows, 128), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_out_rows, 128), jnp.int32),
+        interpret=_interpret(),
+    )
+    return kernel(ops, comp_bytes)
+
+
+# --------------------------------------------------------------------------
+# Compaction (XLA): op arrays [P, SUB, 128] -> packed op list
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_ops",))
+def compact_ops(kind, dst, ln, src, max_ops: int):
+    """Flatten per-row op records into a dense [max_ops, 4] list ordered by
+    (lane, row) so each lane's ops stay in stream order."""
+    P = kind.shape[0]
+    k = kind.reshape(P, -1).T.reshape(-1)  # [B*P], lane-major
+    d = dst.reshape(P, -1).T.reshape(-1)
+    l = ln.reshape(P, -1).T.reshape(-1)
+    s = src.reshape(P, -1).T.reshape(-1)
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, (B_LANES, P), 0).reshape(-1)
+    )
+    sel = jnp.nonzero(k > 0, size=max_ops, fill_value=0)[0]
+    valid = (k > 0)[sel]
+    packed = jnp.stack(
+        [
+            jnp.where(valid, lane[sel] | (k[sel] << 16), 0),
+            d[sel],
+            l[sel],
+            s[sel],
+        ],
+        axis=1,
+    )
+    return packed, jnp.sum(k > 0)
+
+
+# --------------------------------------------------------------------------
+# End-to-end batched segment decode (device path)
+# --------------------------------------------------------------------------
+
+def decode_block_tpu(seg_bytes_list, out_total: int, seg: int = SEG_OUT):
+    """Decode one block from its parse-hint segments, fully on device.
+
+    seg_bytes_list: compressed token stream per segment (each decodes to
+    exactly ``seg`` output bytes except the last).  out_total: block decoded
+    size.  Copies may reference any earlier position in the block (segments
+    are executed in order).  Returns the decoded block bytes.
+    """
+    nseg = len(seg_bytes_list)
+    if nseg > B_LANES:
+        raise ValueError(f"{nseg} segments exceed {B_LANES} lanes per batch")
+    pc_data = max(len(sb) for sb in seg_bytes_list)
+    n_rows = -(-pc_data // ROW_TILE) * ROW_TILE
+    pc = n_rows + MARGIN
+
+    lens = np.zeros((SUB, 128), np.int32)
+    comp = np.zeros((n_rows, B_LANES), np.uint8)
+    comp_flat = np.zeros((B_LANES, pc), np.int32)
+    for i, sb in enumerate(seg_bytes_list):
+        a = np.frombuffer(bytes(sb), np.uint8)
+        comp[: len(a), i] = a
+        comp_flat[i, : len(a)] = a
+        lens[i // 128, i % 128] = len(a)
+
+    # Pack 4 bytes per int32 word for the parse kernel.
+    words = (
+        comp.reshape(n_rows // 4, 4, SUB, 128).astype(np.int32)
+        * (1 << (8 * np.arange(4, dtype=np.int32)))[None, :, None, None]
+    ).sum(axis=1)
+
+    kind, dstA, lnA, srcA = parse_segments_pallas(
+        jnp.asarray(words), jnp.asarray(lens), n_rows
+    )
+
+    total_comp = int(sum(len(sb) for sb in seg_bytes_list))
+    max_ops = -(-min(total_comp, n_rows * B_LANES) // OP_TILE) * OP_TILE
+    max_ops = max(max_ops, OP_TILE)
+    packed, n_real = compact_ops(kind, dstA, lnA, srcA, max_ops)
+
+    seg_rows = seg // 128
+    n_out_rows = nseg * seg_rows + 8  # +8 rows window-load margin
+    out = execute_ops_pallas(
+        packed, jnp.asarray(comp_flat.reshape(-1, 128)), max_ops, pc,
+        n_out_rows, seg_rows,
+    )
+    out_np = np.asarray(out).astype(np.uint8).reshape(-1)
+    return out_np[:out_total].tobytes()

@@ -1,0 +1,83 @@
+"""Device-mesh data parallelism over independent blocks.
+
+The reference's concurrency model is goroutines + an ordered channel of
+channels (writer.go:214-272).  The TPU-native equivalent (SURVEY.md §2.14):
+
+  * blocks are sharded data-parallel over a 1-D mesh axis ("blocks");
+  * every chip runs the match-find/parse pipeline on its own blocks;
+  * per-block compressed sizes are exchanged with an all-gather over ICI;
+  * stream assembly order = exclusive prefix sum of sizes (a deterministic
+    scan replaces the reference's channel ordering);
+  * dictionaries/configs broadcast once (replicated sharding).
+
+Multi-host extends the same mesh over DCN via ``jax.distributed.initialize``;
+nothing below changes because shard_map only sees the global mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import encode_kernel
+
+
+def make_mesh(devices=None, axis: str = "blocks") -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def sharded_pipeline_step(mesh: Mesh, data_blocks, n_valid, seg: int = 4096):
+    """One data-parallel encode pipeline step over a mesh.
+
+    data_blocks: [n_blocks, block_size] int32 byte array, sharded over the
+    mesh's "blocks" axis (n_blocks must be a multiple of the axis size).
+    n_valid: [n_blocks] int32 valid byte counts.
+
+    Per device: full match finding + greedy parse for its blocks; then an
+    all-gather of per-block compressed-size estimates and an exclusive scan
+    to produce deterministic stream output offsets.
+
+    Returns (take, tok_off, tok_len, est_sizes, out_offsets).
+    """
+    axis = mesh.axis_names[0]
+
+    def per_device(blocks, valid):
+        # blocks: [local_blocks, block_size]
+        def one_block(b, nv):
+            dist, length = encode_kernel.find_matches_dyn(b[None, :], nv, seg)
+            nsegs = b.shape[0] // seg
+            take, tok_off, tok_len, is_rep = encode_kernel.greedy_parse(
+                dist.reshape(nsegs, seg), length.reshape(nsegs, seg), seg
+            )
+            # Estimated compressed size: 3 bytes per token + literals.
+            covered = jnp.sum(tok_len)
+            toks = jnp.sum(take)
+            est = toks * 3 + (nv - covered)
+            return take, tok_off, tok_len, est
+
+        take, tok_off, tok_len, est = jax.vmap(one_block)(blocks, valid)
+        # Exchange sizes over ICI; offsets = exclusive prefix sum in global
+        # block order (deterministic stream assembly).
+        all_sizes = jax.lax.all_gather(est, axis)  # [n_dev, local]
+        flat = all_sizes.reshape(-1)
+        offsets = jnp.cumsum(flat) - flat
+        my = jax.lax.axis_index(axis)
+        local = est.shape[0]
+        my_offsets = jax.lax.dynamic_slice(offsets, (my * local,), (local,))
+        return take, tok_off, tok_len, est, my_offsets
+
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(axis)
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis, None), spec),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None), spec, spec),
+        check_rep=False,
+    )
+    return jax.jit(fn)(data_blocks, n_valid)

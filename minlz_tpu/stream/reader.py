@@ -55,6 +55,7 @@ class Reader:
         user_chunk_cb=None,
         fallback: bool = False,
         decoder_backend=None,
+        device: bool = False,
     ):
         self._src = src
         self._max_block_size = max_block_size
@@ -63,6 +64,14 @@ class Reader:
         self._user_cb = dict(user_chunk_cb or {})
         self._fallback = fallback
         self._backend = decoder_backend
+        self._device = device
+        if device:
+            from ..ops.device_codec import get_device_codec
+
+            self._device_codec = get_device_codec()
+        else:
+            self._device_codec = None
+        self._pending_hints = None
         self._decoded = b""
         self._decoded_pos = 0
         self._block_start = 0  # uncompressed offset of current window start
@@ -213,7 +222,11 @@ class Reader:
             else:
                 self._skip_src(clen)
         elif 0x80 <= ctype <= 0xBF:
-            if ctype in self._user_cb:
+            from ..minlz import CHUNK_TYPE_PARSE_HINT
+
+            if ctype == CHUNK_TYPE_PARSE_HINT and self._device_codec is not None:
+                self._pending_hints = self._read_exact(clen)
+            elif ctype in self._user_cb:
                 payload = self._read_exact(clen)
                 self._user_cb[ctype](payload)
             else:
@@ -292,6 +305,20 @@ class Reader:
     def _decode_block(self, body: bytes) -> bytes:
         # Stream chunks omit the leading 0x00 marker; reconstruct it for the
         # block decoder.
+        hints = self._pending_hints
+        self._pending_hints = None
+        if self._device_codec is not None and hints is not None:
+            from ..minlz import CorruptError
+            from ..oracle.decode import parse_header
+
+            lit_only, want, pos = parse_header(b"\x00" + body)
+            if not lit_only and want > 0:
+                try:
+                    return self._device_codec.decode(
+                        body[pos - 1 :], hints, want
+                    )
+                except CorruptError:
+                    pass  # fall through to host decode
         if self._backend is not None:
             return self._backend(b"\x00" + body)
         return blockapi.decode(b"\x00" + body)

@@ -68,6 +68,8 @@ class Writer:
         custom_encoder=None,
         uncompressed: bool = False,
         encoder_backend=None,
+        device: bool = False,
+        parse_hints: bool | None = None,
     ):
         if not MIN_BLOCK_SIZE <= block_size <= MAX_BLOCK_SIZE:
             raise ValueError(f"block_size {block_size} out of range 4KiB..8MiB")
@@ -82,6 +84,14 @@ class Writer:
         self._custom_encoder = custom_encoder
         self._uncompressed_only = uncompressed
         self._backend = encoder_backend
+        self._device = device
+        self._parse_hints = device if parse_hints is None else parse_hints
+        if device:
+            from ..ops.device_codec import get_device_codec
+
+            self._device_codec = get_device_codec()
+        else:
+            self._device_codec = None
         if concurrency is None:
             concurrency = min(os.cpu_count() or 1, 8)
         self._concurrency = max(1, concurrency)
@@ -230,22 +240,38 @@ class Writer:
             self._drain_one()
 
     def _encode_one(self, data: bytes):
-        """Compress one block; returns the full chunk bytes (header+payload)."""
+        """Compress one block; returns the full chunk bytes (header+payload),
+        preceded by a parse-hint chunk (0x88) on the device path."""
+        hint_chunk = b""
         if self._uncompressed_only:
             comp = None
         else:
             comp = None
             if self._custom_encoder is not None:
                 comp = self._custom_encoder(data, self._level)
-            if comp is None:
+                if comp is not None and comp[:1] == b"\x00":
+                    comp = comp[1:]
+            if comp is None and self._device_codec is not None:
+                res = self._device_codec.encode(data, self._level)
+                if res is not None:
+                    block, hint_payload = res
+                    comp = block[1:]  # strip the 0x00 MinLZ marker
+                    if self._parse_hints:
+                        from ..minlz import CHUNK_TYPE_PARSE_HINT
+
+                        hint_chunk = (
+                            bytes([CHUNK_TYPE_PARSE_HINT])
+                            + len(hint_payload).to_bytes(3, "little")
+                            + hint_payload
+                        )
+            if comp is None and self._device_codec is None:
                 comp = blockapi.encode(data, self._level)
                 # Strip the leading 0x00 marker: stream chunks store the block
                 # without the MinLZ indicator byte (SPEC.md §4.4).
                 comp = comp[1:]
-            else:
-                comp = comp[1:] if comp[:1] == b"\x00" else comp
-            if len(comp) >= len(data):
+            if comp is not None and len(comp) >= len(data):
                 comp = None
+                hint_chunk = b""
         c = crc(data)
         if comp is None:
             payload = c.to_bytes(4, "little") + data
@@ -254,7 +280,7 @@ class Writer:
             payload = c.to_bytes(4, "little") + comp
             ctype = CHUNK_TYPE_MINLZ_COMPRESSED
         chunk = bytes([ctype]) + len(payload).to_bytes(3, "little") + payload
-        return chunk
+        return hint_chunk + chunk
 
     def _drain_one(self):
         if not self._pending:

@@ -3,9 +3,17 @@ import sys
 import zipfile
 
 # Device tests run on a virtual 8-device CPU mesh so sharding is exercised
-# without TPU pod hardware.  Must be set before jax import.
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# without TPU pod hardware.  The axon plugin overrides the JAX_PLATFORMS env
+# var, so the platform must be forced via jax.config (before first backend
+# use).  Set MINLZ_TEST_TPU=1 to run device tests on real hardware instead.
+if not os.environ.get("MINLZ_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
