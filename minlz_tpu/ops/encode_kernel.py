@@ -117,6 +117,30 @@ def find_matches(data_flat, n: int, seg: int = SEG):
     return find_matches_dyn(data_flat, n, seg)
 
 
+@functools.partial(jax.jit, static_argnames=("seg", "max_ops"))
+def greedy_parse_compact(off, length, seg: int = SEG, max_ops: int = 0):
+    """greedy_parse + on-device compaction to a dense op list.
+
+    Returns (pos, off, len, is_rep) arrays of shape [max_ops] (global
+    positions, ascending; padded tail has len 0) plus the real count.
+    Minimizes device->host traffic for the serializer.
+    """
+    take, tok_off, tok_len, is_rep = greedy_parse(off, length, seg)
+    flat_take = take.reshape(-1)
+    if max_ops == 0:
+        max_ops = flat_take.shape[0] // 4
+    sel = jnp.nonzero(flat_take > 0, size=max_ops, fill_value=0)[0]
+    valid = (flat_take > 0)[sel]
+    z = jnp.where(valid, 1, 0)
+    return (
+        sel.astype(jnp.int32),
+        tok_off.reshape(-1)[sel] * z,
+        tok_len.reshape(-1)[sel] * z,
+        is_rep.reshape(-1)[sel] * z,
+        jnp.sum(flat_take),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("seg",))
 def greedy_parse(off, length, seg: int = SEG):
     """Lockstep greedy token selection over [B, seg] per-segment lanes.
@@ -147,6 +171,66 @@ def greedy_parse(off, length, seg: int = SEG):
     (_, _), outs = jax.lax.scan(step, (skip0, rep0), (off.T, length.T))
     take, tok_off, tok_len, is_rep = (o.T for o in outs)
     return take, tok_off, tok_len, is_rep
+
+
+def serialize_block(data: bytes, pos, off, ln, is_rep, count,
+                    seg: int = SEG):
+    """Serialize a whole block from a compacted global op list.
+
+    Returns (body_bytes, hints) with hints = [(comp_off, out_off), ...] per
+    segment.  Ops must be ascending by position and never cross segment
+    boundaries (guaranteed by find_matches' length cap).
+    """
+    n = len(data)
+    nseg = -(-n // seg)
+    body = bytearray()
+    hints = []
+    i = 0
+    count = int(count)
+    for si in range(nseg):
+        s0 = si * seg
+        s1 = min(s0 + seg, n)
+        hints.append((len(body), s0))
+        lit_start = s0
+        rep = -1
+        while i < count and pos[i] < s1:
+            p = int(pos[i])
+            o = int(off[i])
+            l = int(ln[i])
+            lits = data[lit_start:p]
+            if is_rep[i] and o == rep:
+                if lits:
+                    oenc.emit_literals(body, lits)
+                oenc.emit_repeat(body, l)
+            else:
+                can_fuse = (
+                    lits
+                    and o >= 64
+                    and o != rep
+                    and (len(lits) <= 3 or (o <= 65599 and len(lits) <= 4))
+                )
+                if can_fuse:
+                    if o <= 65599:
+                        oenc.emit_fused2(body, lits, o, l)
+                    else:
+                        oenc.emit_copy3(body, o, l, lits)
+                else:
+                    if lits:
+                        oenc.emit_literals(body, lits)
+                    if o == rep:
+                        oenc.emit_repeat(body, l)
+                    elif o <= 1024:
+                        oenc.emit_copy1(body, o, l)
+                    elif o <= 65599:
+                        oenc.emit_copy2(body, o, l)
+                    else:
+                        oenc.emit_copy3(body, o, l)
+                rep = o
+            lit_start = p + l
+            i += 1
+        if lit_start < s1:
+            oenc.emit_literals(body, data[lit_start:s1])
+    return bytes(body), hints
 
 
 def serialize_segment(src: bytes, take, tok_off, tok_len, is_rep) -> bytes:
@@ -218,25 +302,16 @@ def encode_block_device(data: bytes, seg: int = SEG):
     dist, length = find_matches(
         jnp.asarray(flat, dtype=jnp.int32)[None, :], n, seg
     )
-    dist = dist.reshape(nseg, seg)
-    length = length.reshape(nseg, seg)
-    take, tok_off, tok_len, is_rep = greedy_parse(dist, length, seg)
-    take = np.asarray(take)
-    tok_off = np.asarray(tok_off)
-    tok_len = np.asarray(tok_len)
-    is_rep = np.asarray(is_rep)
-
-    body = bytearray()
-    hints = []
-    for i in range(nseg):
-        sl = min(seg, n - i * seg)
-        hints.append((len(body), i * seg))
-        body += serialize_segment(
-            data[i * seg : i * seg + sl],
-            take[i], tok_off[i], tok_len[i], is_rep[i],
-        )
+    pos, off, ln, isrep, count = greedy_parse_compact(
+        dist.reshape(nseg, seg), length.reshape(nseg, seg), seg, N // 4
+    )
+    body, hints = serialize_block(
+        data,
+        np.asarray(pos), np.asarray(off), np.asarray(ln), np.asarray(isrep),
+        int(count), seg,
+    )
     if len(body) >= n:
         # Spec: compressed body must be smaller than the decompressed block;
         # caller falls back to the uncompressed representation.
         return None, None
-    return b"\x00" + put_uvarint(n) + bytes(body), hints
+    return b"\x00" + put_uvarint(n) + body, hints
