@@ -53,8 +53,16 @@ def decode_block(src) -> bytes:
         return src[pos:]
     if want_size == 0:
         return b""
+    return decode_body(src, pos, want_size)
 
-    dst = bytearray()
+
+def decode_body(src, pos, want_size, seed=b"") -> bytes:
+    """Decode a token stream starting at ``pos``, optionally seeding the
+    back-reference window with ``seed`` (dictionary decoding).  Returns only
+    the newly produced bytes."""
+    seed_len = len(seed)
+    want_size += seed_len
+    dst = bytearray(seed)
     n = len(src)
     offset = 1  # repeat offset, initial value 1 (SPEC.md §2.2)
 
@@ -159,7 +167,7 @@ def decode_block(src) -> bytes:
         raise CorruptError(
             f"decoded size mismatch: got {len(dst)}, want {want_size}"
         )
-    return bytes(dst)
+    return bytes(dst[seed_len:]) if seed_len else bytes(dst)
 
 
 def _copy(dst: bytearray, offset: int, length: int, want_size: int) -> None:
