@@ -2,11 +2,12 @@
 
 TPU-first redesign of the reference's hash-table LZ77 (encode_l1.go:39):
 
-  * Candidate finding: instead of a sequential single-slot hash table, one
-    lexicographic sort of (hash, position) over the WHOLE block.  The sorted
-    predecessor with equal hash and equal 4-byte value IS what a perfect
-    collision-free table would have returned — the most recent previous
-    occurrence — computed for every position at once.
+  * Candidate finding: instead of a sequential single-slot hash table,
+    batched (hash|pos)-key sorts over 16KiB windows (two passes, aligned and
+    half-shifted).  The sorted predecessor with equal hash and equal 4-byte
+    value IS what a perfect collision-free table would have returned — the
+    most recent previous occurrence — computed for every position at once.
+    Long-range (>8KiB) candidates are a roadmap item (sampled global pass).
   * Match extension: byte-exact lengths from runs of consecutive
     same-distance candidates, counted by log-doubling over static shifts
     (no gathers anywhere).
@@ -36,8 +37,13 @@ from ..oracle import encode as oenc
 
 # Segment size (positions per lane); must match the decode hint segmentation.
 SEG = 4096
-_HASH_BITS = 18
-_POS_BITS = 13  # SEG <= 8192
+# Match-finder window: candidates are found within aligned windows of this
+# size (batched sort rows).  Offsets therefore stay < WINDOW; length
+# extension still runs globally and matches are capped only at SEG
+# boundaries.  WINDOW <= 16384 keeps (hash17 | pos14) inside int32.
+WINDOW = 16384
+_HASH_BITS = 17
+_POS_BITS = 14
 _PRIME4 = np.uint32(2654435761)
 
 
@@ -45,12 +51,11 @@ def find_matches_dyn(data_flat, n, seg: int = SEG):
     """data_flat: [1, N] int32 bytes of the whole block (N = padded);
     ``n`` may be a traced scalar (shard_map / vmap use).
 
-    Candidate search runs over the WHOLE block (matches may reference any
-    earlier position, like the reference's single hash table over the full
-    8MiB window), via one lexicographic sort by (hash, position).  Lengths
-    are byte-exact same-distance runs counted with log-doubling.  Returns
-    (off, length) as [1, N] int32; length is capped so no match crosses a
-    segment boundary (the decode-parallel unit).
+    Candidates come from batched windowed sorts (guaranteed coverage for
+    distances < WINDOW/2); lengths are byte-exact same-distance runs counted
+    with log-doubling.  Returns (off, length) as [1, N] int32; length is
+    capped so no match crosses a segment boundary (the decode-parallel
+    unit).
     """
     N = data_flat.shape[1]
     d = data_flat.astype(jnp.uint32)
@@ -63,31 +68,64 @@ def find_matches_dyn(data_flat, n, seg: int = SEG):
     h = ((v0 * _PRIME4) >> (32 - _HASH_BITS)).astype(jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (1, N))
     valid = pos <= n - 4
-    # Invalid positions get unique out-of-range hashes so they never match.
-    h = jnp.where(valid, h, (1 << _HASH_BITS) + pos)
 
-    h_s, pos_s, v0_s = jax.lax.sort(
-        (h, pos, v0.astype(jnp.int32)), dimension=1, num_keys=2
-    )
-    idx = jnp.arange(N)[None, :]
-    cands = []
-    for back in (1, 2, 3):
-        prev_pos = jnp.roll(pos_s, back, axis=1)
-        prev_h = jnp.roll(h_s, back, axis=1)
-        prev_v0 = jnp.roll(v0_s, back, axis=1)
-        ok = (h_s == prev_h) & (v0_s == prev_v0) & (idx >= back)
-        cands.append(jnp.where(ok, prev_pos, -1))
+    # Batched windowed sort: one row per WINDOW-sized span (single-row sorts
+    # of 1M+ elements are pathological on TPU; batched rows sort at full
+    # VPU rate).  Key packs (hash, local pos) into one int32 so an unstable
+    # sort is deterministic; invalid positions get unique oversize keys.
+    # Two passes — aligned and half-window shifted — guarantee any match
+    # with distance < W/2 is found regardless of window alignment.
+    W = min(WINDOW, N)
+    keyflat = jnp.where(valid, (h << _POS_BITS), (1 << 31) - (1 << _POS_BITS))
+    v0i = v0.astype(jnp.int32)
 
-    # Unsort: sort by position (unique) restores stream order.
-    unsorted = jax.lax.sort((pos_s, *cands), dimension=1, num_keys=1)
-    cands = unsorted[1:]
+    def window_pass(shift):
+        # Roll so windows start at `shift`; candidates come back global.
+        k = jnp.roll(keyflat, shift, axis=1)
+        v = jnp.roll(v0i, shift, axis=1)
+        nwin = N // W
+        lpos = jnp.broadcast_to(
+            jnp.arange(W, dtype=jnp.int32)[None, :], (nwin, W)
+        )
+        key = k.reshape(nwin, W) | lpos
+        key_s, v0_s = jax.lax.sort(
+            (key, v.reshape(nwin, W)), dimension=1, num_keys=1
+        )
+        pos_s = key_s & ((1 << _POS_BITS) - 1)
+        h_s = key_s >> _POS_BITS
+        idx = jnp.arange(W)[None, :]
+        cs = []
+        for back in (1, 2, 3):
+            ok = (
+                (h_s == jnp.roll(h_s, back, axis=1))
+                & (v0_s == jnp.roll(v0_s, back, axis=1))
+                & (idx >= back)
+            )
+            cs.append(jnp.where(ok, jnp.roll(pos_s, back, axis=1), -1))
+        unsorted = jax.lax.sort((pos_s, *cs), dimension=1, num_keys=1)
+        base = (jnp.arange(nwin, dtype=jnp.int32) * W)[:, None]
+        out = []
+        for c in unsorted[1:]:
+            g = jnp.where(c >= 0, c + base, -1).reshape(1, N)
+            # Undo the roll: array index -> original position.
+            g = jnp.roll(g, -shift, axis=1)
+            g = jnp.where(g >= 0, (g - shift) % N, -1)
+            out.append(g)
+        return out
+
+    cands = window_pass(0)
+    if N > W:
+        cands += window_pass(W // 2)[:1]  # shifted pass: nearest cand only
 
     best_dist = jnp.zeros_like(pos)
     best_len = jnp.zeros_like(pos)
     for cand in cands:
         dist = jnp.where(cand >= 0, pos - cand, 0)
-        # Spec cap: Copy3 reaches at most 2,162,687 back.
-        dist = jnp.where(dist <= (1 << 21) + 65535, dist, 0)
+        # Negative distances can appear for rolled-pass wraparound; drop
+        # them along with over-range ones (Copy3 caps at 2,162,687 back).
+        dist = jnp.where(
+            (dist > 0) & (dist <= (1 << 21) + 65535), dist, 0
+        )
         # Byte-exact length: run of consecutive same-distance candidates
         # counted with log-doubling (invariant: runs = min(true_run, shift)).
         dist1 = jnp.roll(dist, -1, axis=1)
@@ -296,14 +334,17 @@ def encode_block_device(data: bytes, seg: int = SEG):
         return b"\x00", []
     nseg = -(-n // seg)
     N = nseg * seg
+    # Pad to the match-finder window size (batched sort row length).
+    N = -(-N // WINDOW) * WINDOW
     flat = np.zeros(N, np.uint8)
     flat[:n] = np.frombuffer(data, np.uint8)
 
     dist, length = find_matches(
         jnp.asarray(flat, dtype=jnp.int32)[None, :], n, seg
     )
+    nrows = N // seg
     pos, off, ln, isrep, count = greedy_parse_compact(
-        dist.reshape(nseg, seg), length.reshape(nseg, seg), seg, N // 4
+        dist.reshape(nrows, seg), length.reshape(nrows, seg), seg, N // 4
     )
     body, hints = serialize_block(
         data,

@@ -1,0 +1,123 @@
+"""Per-block search table builder — vectorized.
+
+The reference builds tables with unrolled per-matchLen byte loops and a SIMD
+``packBits`` kernel (search_index.go:20-175, search_asm_*.s).  Here the whole
+build is a handful of NumPy array passes (and the same math runs as jnp on
+device): sliding-window values via shifts, the spec hash family vectorized,
+presence bits via a scatter-OR — packBits becomes np.bitwise_or.at.
+
+Boundary rules per SPEC_SEARCH.md §3.3.1/B.1: windows may extend into the
+next block's first bytes (overlap); prefix-filtered positions still require
+the prefix inside this block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .table import (
+    TYPE_BYTE_PREFIX,
+    TYPE_LONG_PREFIX,
+    TYPE_MASK_PREFIX,
+    TYPE_NO_PREFIX,
+    SearchTableConfig,
+    hash_values_np,
+)
+
+
+def _window_values(data: np.ndarray, match_len: int) -> np.ndarray:
+    """uint64 little-endian values of every match_len-byte window.
+
+    data: uint8 array of block bytes + overlap.  Returns values for
+    positions 0 .. len(data)-match_len.
+    """
+    n = len(data) - match_len + 1
+    if n <= 0:
+        return np.zeros(0, np.uint64)
+    vals = np.zeros(n, np.uint64)
+    for k in range(match_len):
+        vals |= data[k : k + n].astype(np.uint64) << np.uint64(8 * k)
+    return vals
+
+
+def build_table(
+    block: bytes,
+    cfg: SearchTableConfig,
+    overlap: bytes = b"",
+    block_size_hint: int = 0,
+):
+    """Build the bitmap for one block.
+
+    Returns (table_bytes, reductions) or None when the table is denser than
+    the configured population limit (the encoder then omits the chunk).
+    """
+    cfg.validate()
+    bits = cfg.auto_bits(block_size_hint or len(block))
+    m = cfg.match_len
+    s = len(block)
+    if s == 0:
+        return None
+
+    data = np.frombuffer(bytes(block) + bytes(overlap), np.uint8)
+
+    if cfg.table_type == TYPE_NO_PREFIX:
+        # Index windows starting at 0..S-1 (overlap supplies the tail;
+        # window at S belongs to the next block).
+        end = min(s, len(data) - m + 1)
+        vals = _window_values(data, m)[:end]
+    elif cfg.table_type in (TYPE_BYTE_PREFIX, TYPE_MASK_PREFIX):
+        # Positions 1..S following a prefix byte inside this block.
+        if cfg.table_type == TYPE_BYTE_PREFIX:
+            pset = np.zeros(256, bool)
+            pset[list(set(cfg.prefixes))] = True
+        else:
+            pset = np.zeros(256, bool)
+            pset[list(cfg.prefix_mask)] = True
+        vals_all = _window_values(data, m)
+        hi = min(s + 1, len(vals_all))
+        pos = np.nonzero(pset[data[: hi - 1]])[0] + 1
+        vals = vals_all[pos]
+    else:  # TYPE_LONG_PREFIX
+        p = np.frombuffer(cfg.prefixes, np.uint8)
+        pl = len(p)
+        e = cfg.extra_matches
+        vals_all = _window_values(data, m)
+        # Prefix occurrences starting in this block (start <= S-1).
+        if len(data) < pl:
+            return _finish(np.zeros(0, np.uint64), cfg, bits)
+        win = np.lib.stride_tricks.sliding_window_view(data, pl)
+        starts = np.nonzero((win == p).all(axis=1))[0]
+        starts = starts[starts < s]
+        pos = []
+        for k in range(e + 1):
+            pk = starts + pl + k
+            pk = pk[pk < len(vals_all)]
+            pos.append(pk)
+        pos = np.concatenate(pos) if pos else np.zeros(0, np.int64)
+        vals = vals_all[pos]
+
+    return _finish(vals, cfg, bits)
+
+
+def _finish(vals: np.ndarray, cfg: SearchTableConfig, bits: int):
+    h = hash_values_np(vals, bits, cfg.match_len)
+    nbytes = 1 << (bits - 3)
+    table = np.zeros(nbytes, np.uint8)
+    np.bitwise_or.at(table, h >> np.uint32(3),
+                     (np.uint8(1) << (h & np.uint32(7))).astype(np.uint8))
+
+    reductions = 0
+    pop = np.unpackbits(table).sum()
+    # Reduce while sparse enough and above the 256-entry floor.
+    while (
+        len(table) > 32
+        and pop <= cfg.max_reduced_population * (len(table) * 4)
+    ):
+        half = len(table) // 2
+        table = table[:half] | table[half:]
+        reductions += 1
+        pop = np.unpackbits(table).sum()
+
+    if pop > cfg.max_population * (len(table) * 8):
+        return None
+    return table.tobytes(), reductions

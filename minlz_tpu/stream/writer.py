@@ -70,6 +70,7 @@ class Writer:
         encoder_backend=None,
         device: bool = False,
         parse_hints: bool | None = None,
+        search_table=None,
     ):
         if not MIN_BLOCK_SIZE <= block_size <= MAX_BLOCK_SIZE:
             raise ValueError(f"block_size {block_size} out of range 4KiB..8MiB")
@@ -86,6 +87,9 @@ class Writer:
         self._backend = encoder_backend
         self._device = device
         self._parse_hints = device if parse_hints is None else parse_hints
+        self._search_cfg = search_table
+        self._search_held = None  # raw block deferred for overlap indexing
+        self._wrote_search_info = False
         if device:
             from ..ops.device_codec import get_device_codec
 
@@ -162,13 +166,21 @@ class Writer:
         self._drain()
         self._emit_raw_chunk(chunk_id, bytes(data))
 
-    def flush(self) -> None:
-        """Compress and emit all buffered data (partial block included)."""
+    def flush(self, _final: bool = False) -> None:
+        """Compress and emit all buffered data (partial block included).
+
+        A mid-stream flush emits any overlap-deferred block WITHOUT a search
+        table (SPEC_SEARCH.md B.1); on close the final block keeps its table.
+        """
         self._check_open()
         if self._buf:
             chunk = bytes(self._buf)
             self._buf.clear()
             self._submit_block(chunk)
+        if self._search_held is not None:
+            held = self._search_held
+            self._search_held = None
+            self._emit_search_block(held, b"", with_table=_final)
         self._drain()
         if hasattr(self._dst, "flush"):
             self._dst.flush()
@@ -180,7 +192,7 @@ class Writer:
         appended (reference CloseIndex)."""
         if self._closed:
             return None
-        self.flush()
+        self.flush(_final=True)
         idx = self._index
         # EOF chunk with total uncompressed size.
         eof_payload = put_uvarint(self._written_in)
@@ -227,6 +239,49 @@ class Writer:
 
     def _submit_block(self, data: bytes):
         self._ensure_header()
+        if self._search_cfg is not None:
+            # Defer one block so its table can index boundary overlaps
+            # (SPEC_SEARCH.md B.1).
+            if not self._wrote_search_info:
+                self._wrote_search_info = True
+                self._drain()
+                self._write_out(
+                    self._search_cfg.marshal_info(self._block_size)
+                )
+            held = self._search_held
+            self._search_held = data
+            if held is None:
+                return
+            cfg = self._search_cfg
+            need = (
+                len(cfg.prefixes) - 1 + cfg.match_len + cfg.extra_matches
+                if cfg.table_type == 4
+                else cfg.match_len
+            )
+            self._emit_search_block(held, data[:need])
+            return
+        self._submit_block_inner(data)
+
+    def _emit_search_block(self, data: bytes, overlap: bytes,
+                           with_table: bool = True):
+        from ..search.build import build_table
+
+        if with_table:
+            res = build_table(
+                data, self._search_cfg, overlap, self._block_size
+            )
+            if res is not None:
+                table, reductions = res
+                self._drain()
+                self._write_out(
+                    self._search_cfg.marshal_table(
+                        self._block_size, table, reductions
+                    )
+                )
+        self._submit_block_inner(data)
+        self._drain()
+
+    def _submit_block_inner(self, data: bytes):
         uoff = self._written_in
         self._written_in += len(data)
         if self._pool is not None and self._backend is None:

@@ -1,0 +1,195 @@
+"""Search subsystem tests: hash family, builder, searcher, stream wiring.
+
+Key invariant (reference FuzzSearchNoFalseNegatives): a search may decode
+more blocks than necessary, but must NEVER miss a real occurrence.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from minlz_tpu.search import (
+    BlockSearcher,
+    SearchTableConfig,
+    build_table,
+    hash_value,
+)
+from minlz_tpu.search.table import hash_values_np, parse_table_chunk
+from minlz_tpu.stream import Writer
+
+
+def _stream(data, cfg, block_size=16 << 10, **kw):
+    buf = io.BytesIO()
+    with Writer(buf, block_size=block_size, add_index=False,
+                search_table=cfg, concurrency=1, **kw) as w:
+        w.write(data)
+    return buf.getvalue()
+
+
+def test_hash_scalar_vs_vector():
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 1 << 63, 1000).astype(np.uint64)
+    for ml in range(1, 9):
+        for bits in (8, 14, 16, 20, 23):
+            vec = hash_values_np(vals, bits, ml)
+            mask = (1 << (8 * ml)) - 1
+            for i in range(0, 1000, 97):
+                assert vec[i] == hash_value(int(vals[i]) & mask, bits, ml), (
+                    ml, bits)
+
+
+def test_hash_matches_spec_examples():
+    # The hash of a value must be deterministic and within table range.
+    for ml in range(1, 9):
+        h = hash_value(0x0123456789ABCDEF & ((1 << (8 * ml)) - 1), 16, ml)
+        assert 0 <= h < (1 << 16)
+
+
+def test_build_table_contains_all_windows(twain):
+    cfg = SearchTableConfig(match_len=6)
+    res = build_table(twain, cfg, b"")
+    assert res is not None
+    table, reductions = res
+    bits = cfg.auto_bits(len(twain))
+    mask = (1 << (bits - reductions)) - 1
+    # Every 6-byte window of the data must be present (no false negatives).
+    for i in range(0, len(twain) - 6, 131):
+        val = int.from_bytes(twain[i : i + 6], "little")
+        h = hash_value(val, bits, 6) & mask
+        assert table[h >> 3] & (1 << (h & 7)), i
+
+
+def test_table_wire_roundtrip(twain):
+    cfg = SearchTableConfig(match_len=6)
+    table, reductions = build_table(twain, cfg, b"")
+    chunk = cfg.marshal_table(len(twain), table, reductions)
+    assert chunk[0] == 0x45
+    cfg2, bits2, red2, table2 = parse_table_chunk(chunk[4:])
+    assert (cfg2.match_len, red2, table2) == (6, reductions, table)
+
+
+def test_search_finds_all_matches(twain):
+    data = twain * 8  # 8 blocks of 16K => several blocks
+    pattern = b"Tom Sawyer"
+    want = []
+    start = 0
+    while True:
+        j = data.find(pattern, start)
+        if j < 0:
+            break
+        want.append(j)
+        start = j + 1
+    assert want
+
+    enc = _stream(data, SearchTableConfig(match_len=6))
+    s = BlockSearcher(io.BytesIO(enc), pattern)
+    got = [r.offset for r in s.search()]
+    assert got == want
+    assert s.stats.tables_seen > 0
+
+
+def test_search_skips_absent_pattern(twain):
+    rng = np.random.default_rng(5)
+    blocks = []
+    for i in range(6):
+        blocks.append(rng.integers(0, 256, 16 << 10, dtype=np.uint8).tobytes())
+    # One block contains the needle.
+    needle = b"NEEDLE-IN-HAYSTACK-XYZZY"
+    blocks[3] = blocks[3][:5000] + needle + blocks[3][5000 + len(needle):]
+    data = b"".join(blocks)
+
+    enc = _stream(data, SearchTableConfig(match_len=6))
+    s = BlockSearcher(io.BytesIO(enc), needle)
+    got = [r.offset for r in s.search()]
+    assert got == [data.find(needle)]
+    # Blocks without the needle should be skippable (incompressible data
+    # gives dense tables, so not all skip; the deferred-decode protocol —
+    # roadmap — recovers the rest).
+    assert s.stats.blocks_skipped >= 2, vars(s.stats)
+    assert s.stats.blocks_decoded < s.stats.blocks_total
+
+
+def test_search_boundary_straddle(twain):
+    # Place the pattern exactly across a block boundary.
+    bs = 16 << 10
+    pattern = b"SPLIT-ACROSS-BOUNDARY"
+    data = bytearray(twain * 8)
+    pos = bs * 2 - len(pattern) // 2
+    data[pos : pos + len(pattern)] = pattern
+    data = bytes(data)
+
+    enc = _stream(data, SearchTableConfig(match_len=6), block_size=bs)
+    got = [r.offset for r in BlockSearcher(io.BytesIO(enc), pattern).search()]
+    assert pos in got
+
+
+def test_no_false_negatives_fuzz(twain):
+    rng = np.random.default_rng(7)
+    base = bytearray(twain * 4)
+    # Scatter random patterns.
+    patterns = [b"alpha0", b"bravo-bravo", b"x" * 9, b"zq9!kk"]
+    placed = {p: [] for p in patterns}
+    for p in patterns:
+        for _ in range(5):
+            pos = int(rng.integers(0, len(base) - len(p)))
+            base[pos : pos + len(p)] = p
+    data = bytes(base)
+    for p in patterns:
+        want = []
+        start = 0
+        while True:
+            j = data.find(p, start)
+            if j < 0:
+                break
+            want.append(j)
+            start = j + 1
+        for ml in (4, 6):
+            enc = _stream(data, SearchTableConfig(match_len=ml),
+                          block_size=8 << 10)
+            got = [r.offset for r in BlockSearcher(io.BytesIO(enc), p).search()]
+            assert got == want, (p, ml)
+
+
+def test_byte_prefix_table(twain):
+    data = (b'{"key":"val1"}' * 500 + twain[:8000]) * 3
+    cfg = SearchTableConfig(match_len=4).with_byte_prefix(b":")
+    enc = _stream(data, cfg, block_size=8 << 10)
+    pattern = b':"val1"'
+    want = []
+    start = 0
+    while True:
+        j = data.find(pattern, start)
+        if j < 0:
+            break
+        want.append(j)
+        start = j + 1
+    got = [r.offset for r in BlockSearcher(io.BytesIO(enc), pattern).search()]
+    assert got == want
+
+
+def test_long_prefix_table(twain):
+    data = (b'id=12345;' * 300 + twain[:6000]) * 2
+    cfg = SearchTableConfig(match_len=4).with_long_prefix(b"id=", extras=2)
+    enc = _stream(data, cfg, block_size=8 << 10)
+    pattern = b"id=12345"
+    want = []
+    start = 0
+    while True:
+        j = data.find(pattern, start)
+        if j < 0:
+            break
+        want.append(j)
+        start = j + 1
+    got = [r.offset for r in BlockSearcher(io.BytesIO(enc), pattern).search()]
+    assert got == want
+
+
+def test_search_stream_without_tables(twain):
+    buf = io.BytesIO()
+    with Writer(buf, block_size=16 << 10, add_index=False) as w:
+        w.write(twain * 4)
+    s = BlockSearcher(io.BytesIO(buf.getvalue()), b"Tom")
+    got = s.search()
+    assert len(got) == (twain * 4).count(b"Tom")  # overlaps impossible for 'Tom'
+    assert s.stats.blocks_no_table == s.stats.blocks_total
