@@ -176,6 +176,32 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    from .search import BlockSearcher
+
+    pattern = args.pattern.encode() if isinstance(args.pattern, str) else args.pattern
+    rc = 1
+    for path in args.files:
+        with open(path, "rb") as f:
+            s = BlockSearcher(f, pattern, bail_no_table=args.bail)
+            n = [0]
+
+            def cb(r):
+                n[0] += 1
+                if not args.quiet:
+                    print(f"{path}:{r.offset}")
+                if args.count and n[0] >= args.count:
+                    return False
+                return True
+
+            s.search(cb)
+            if n[0]:
+                rc = 0
+            if args.stats:
+                s.stats.fprint(sys.stderr)
+    return rc
+
+
 def cmd_bench(args) -> int:
     path = args.files[0]
     with open(path, "rb") as f:
@@ -241,6 +267,17 @@ def main(argv=None) -> int:
     ps = sub.add_parser("stats", help="stream anatomy")
     ps.add_argument("files", nargs="+")
     ps.set_defaults(fn=cmd_stats)
+
+    pq = sub.add_parser("s", help="search compressed stream")
+    pq.add_argument("-q", dest="quiet", action="store_true")
+    pq.add_argument("-c", dest="count", type=int, default=0,
+                    help="stop after N matches")
+    pq.add_argument("-bail", action="store_true",
+                    help="error if stream has no search tables")
+    pq.add_argument("-stats", action="store_true")
+    pq.add_argument("pattern")
+    pq.add_argument("files", nargs="+")
+    pq.set_defaults(fn=cmd_search)
 
     pb = sub.add_parser("bench", help="compress/decompress benchmark")
     pb.add_argument("-n", type=int, default=3)

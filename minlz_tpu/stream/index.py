@@ -254,6 +254,56 @@ class Index:
                 return cls.load(bytes(chunk_hdr) + body)
             raise CorruptError("trailer does not point at an index chunk")
 
+    @classmethod
+    def index_stream(cls, f) -> "Index":
+        """Build an index by scanning an existing stream's chunk headers
+        (no block decoding; reference IndexStream, index.go:455)."""
+        from ..minlz import (
+            CHUNK_TYPE_EOF,
+            CHUNK_TYPE_MINLZ_COMPRESSED,
+            CHUNK_TYPE_MINLZ_COMPRESSED_CRC,
+            CHUNK_TYPE_STREAM_ID,
+            CHUNK_TYPE_UNCOMPRESSED_DATA,
+            CorruptError,
+            read_uvarint,
+        )
+
+        idx = cls()
+        coff = 0
+        uoff = 0
+        while True:
+            hdr = f.read(4)
+            if len(hdr) < 4:
+                break
+            ctype = hdr[0]
+            clen = int.from_bytes(hdr[1:4], "little")
+            if ctype in (
+                CHUNK_TYPE_MINLZ_COMPRESSED,
+                CHUNK_TYPE_MINLZ_COMPRESSED_CRC,
+                CHUNK_TYPE_UNCOMPRESSED_DATA,
+            ):
+                payload = f.read(clen)
+                if len(payload) < clen:
+                    raise CorruptError("truncated stream while indexing")
+                if ctype == CHUNK_TYPE_UNCOMPRESSED_DATA:
+                    dlen = clen - 4
+                else:
+                    dlen, _ = read_uvarint(payload, 4)
+                    if dlen == 0:
+                        dlen = clen - 5
+                idx.add(coff, uoff)
+                uoff += dlen
+            elif ctype == CHUNK_TYPE_STREAM_ID:
+                f.read(clen)
+            elif ctype == CHUNK_TYPE_EOF:
+                f.read(clen)
+            else:
+                f.seek(clen, 1)
+            coff += 4 + clen
+        idx.total_uncompressed = uoff
+        idx.total_compressed = coff
+        return idx
+
     # --- Tools --------------------------------------------------------------
 
     def to_json(self) -> str:
