@@ -466,3 +466,65 @@ MINLZ_EXPORT long minlz_encode_block(const uint8_t* src, size_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Serialize a compacted op list (from the TPU greedy parse) into a MinLZ
+// block body with per-segment hint offsets.
+//   pos/off/len/isrep: arrays of `count` ops, ascending global positions,
+//   never crossing segment boundaries.  hints_out: comp offset per segment
+//   (nseg = ceil(n/seg)).  Returns body size or negative on overflow.
+MINLZ_EXPORT long minlz_serialize_ops(
+    const uint8_t* src, size_t n, const int32_t* pos, const int32_t* off,
+    const int32_t* len, const int32_t* isrep, size_t count, size_t seg,
+    uint8_t* out, size_t outcap, int64_t* hints_out) {
+  std::vector<uint8_t> body;
+  body.reserve(n / 2);
+  size_t nseg = (n + seg - 1) / seg;
+  size_t i = 0;
+  for (size_t si = 0; si < nseg; si++) {
+    size_t s0 = si * seg;
+    size_t s1 = s0 + seg < n ? s0 + seg : n;
+    hints_out[si] = (int64_t)body.size();
+    size_t lit_start = s0;
+    int64_t rep = -1;
+    while (i < count && (size_t)pos[i] < s1) {
+      size_t p = (size_t)pos[i];
+      uint32_t o = (uint32_t)off[i];
+      uint32_t l = (uint32_t)len[i];
+      const uint8_t* lits = src + lit_start;
+      size_t nlits = p - lit_start;
+      bool fused = false;
+      if (o == (uint64_t)rep) {
+        if (nlits) emit_literals(body, lits, nlits);
+        emit_repeat(body, l);
+      } else {
+        if (nlits && o >= 64 &&
+            (nlits <= 3 || (o <= 65599 && nlits <= 4))) {
+          if (o <= 65599) {
+            emit_fused2(body, lits, (uint32_t)nlits, o, l);
+          } else {
+            emit_copy3(body, o, l, lits, (uint32_t)nlits);
+          }
+          fused = true;
+        } else if (nlits) {
+          emit_literals(body, lits, nlits);
+        }
+        if (!fused) {
+          if (o <= 1024) emit_copy1(body, o, l);
+          else if (o <= 65599) emit_copy2(body, o, l);
+          else emit_copy3(body, o, l, nullptr, 0);
+        }
+        rep = o;
+      }
+      lit_start = p + l;
+      i++;
+    }
+    if (lit_start < s1) emit_literals(body, src + lit_start, s1 - lit_start);
+  }
+  if (body.size() > outcap) return -2;
+  memcpy(out, body.data(), body.size());
+  return (long)body.size();
+}
+
+}  // extern "C"

@@ -27,6 +27,33 @@ class _NativeCodec:
             raise ValueError(f"native encode failed ({wrote})")
         return out.raw[:wrote]
 
+    def serialize_ops(self, src: bytes, pos, off, ln, isrep, count: int,
+                      seg: int):
+        """Native op-list serializer.  Returns (body, hints) or None."""
+        import numpy as np
+
+        if not hasattr(self._lib, "minlz_serialize_ops"):
+            return None
+        n = len(src)
+        nseg = -(-n // seg) if n else 0
+        cap = n + 64 + 8 * max(nseg, 1)
+        out = ctypes.create_string_buffer(cap)
+        hints = np.zeros(max(nseg, 1), np.int64)
+        count = min(count, len(pos))
+        pos = np.ascontiguousarray(pos, np.int32)
+        off = np.ascontiguousarray(off, np.int32)
+        ln = np.ascontiguousarray(ln, np.int32)
+        isrep = np.ascontiguousarray(isrep, np.int32)
+        wrote = self._lib.minlz_serialize_ops(
+            src, n,
+            pos.ctypes.data, off.ctypes.data, ln.ctypes.data,
+            isrep.ctypes.data, count, seg, out, cap,
+            hints.ctypes.data,
+        )
+        if wrote < 0:
+            return None
+        return out.raw[:wrote], [(int(h), i * seg) for i, h in enumerate(hints[:nseg])]
+
     def decode_block(self, src: bytes) -> bytes:
         from ..minlz import CorruptError
         from ..oracle.decode import parse_header
@@ -57,5 +84,13 @@ def get_codec():
         ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_char_p, ctypes.c_size_t,
     ]
+    if hasattr(lib, "minlz_serialize_ops"):
+        lib.minlz_serialize_ops.restype = ctypes.c_long
+        lib.minlz_serialize_ops.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+        ]
     _codec = _NativeCodec(lib)
     return _codec

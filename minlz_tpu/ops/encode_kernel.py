@@ -157,23 +157,35 @@ def find_matches(data_flat, n: int, seg: int = SEG):
 
 @functools.partial(jax.jit, static_argnames=("seg", "max_ops"))
 def greedy_parse_compact(off, length, seg: int = SEG, max_ops: int = 0):
-    """greedy_parse + on-device compaction to a dense op list.
+    """Greedy parse (Pallas lockstep kernel) + on-device compaction to a
+    dense op list.
 
+    off, length: [nrows, seg] int32 (row = segment span, ascending).
     Returns (pos, off, len, is_rep) arrays of shape [max_ops] (global
     positions, ascending; padded tail has len 0) plus the real count.
     Minimizes device->host traffic for the serializer.
     """
-    take, tok_off, tok_len, is_rep = greedy_parse(off, length, seg)
-    flat_take = take.reshape(-1)
+    from .pallas_encode import greedy_parse_pallas
+
+    nrows = off.shape[0]
     if max_ops == 0:
-        max_ops = flat_take.shape[0] // 4
+        max_ops = nrows * seg // 4
+    subn = -(-nrows // 128)
+    pad = subn * 128 - nrows
+    off_t = jnp.pad(off, ((0, pad), (0, 0))).T.reshape(seg, subn, 128)
+    len_t = jnp.pad(length, ((0, pad), (0, 0))).T.reshape(seg, subn, 128)
+    take_t, isrep_t = greedy_parse_pallas(off_t, len_t, seg)
+    take = take_t.reshape(seg, -1).T[:nrows]
+    is_rep = isrep_t.reshape(seg, -1).T[:nrows]
+
+    flat_take = take.reshape(-1)
     sel = jnp.nonzero(flat_take > 0, size=max_ops, fill_value=0)[0]
     valid = (flat_take > 0)[sel]
     z = jnp.where(valid, 1, 0)
     return (
         sel.astype(jnp.int32),
-        tok_off.reshape(-1)[sel] * z,
-        tok_len.reshape(-1)[sel] * z,
+        off.reshape(-1)[sel] * z,
+        length.reshape(-1)[sel] * z,
         is_rep.reshape(-1)[sel] * z,
         jnp.sum(flat_take),
     )
@@ -346,11 +358,18 @@ def encode_block_device(data: bytes, seg: int = SEG):
     pos, off, ln, isrep, count = greedy_parse_compact(
         dist.reshape(nrows, seg), length.reshape(nrows, seg), seg, N // 4
     )
-    body, hints = serialize_block(
-        data,
+    pos, off, ln, isrep, count = (
         np.asarray(pos), np.asarray(off), np.asarray(ln), np.asarray(isrep),
-        int(count), seg,
+        int(count),
     )
+    from ..native.codec import get_codec
+
+    codec = get_codec()
+    res = codec.serialize_ops(data, pos, off, ln, isrep, count, seg)         if codec is not None else None
+    if res is not None:
+        body, hints = res
+    else:
+        body, hints = serialize_block(data, pos, off, ln, isrep, count, seg)
     if len(body) >= n:
         # Spec: compressed body must be smaller than the decompressed block;
         # caller falls back to the uncompressed representation.

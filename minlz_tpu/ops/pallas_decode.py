@@ -309,7 +309,10 @@ def decode_block_tpu(seg_bytes_list, out_total: int, seg: int = SEG_OUT):
     )
 
     total_comp = int(sum(len(sb) for sb in seg_bytes_list))
-    max_ops = -(-min(total_comp, n_rows * B_LANES) // OP_TILE) * OP_TILE
+    # Op bound: a copy needs >=2 compressed bytes and literal runs cannot be
+    # adjacent, so ops <= comp_bytes/2 + segments.
+    bound = total_comp // 2 + len(seg_bytes_list) + 1
+    max_ops = -(-min(bound, n_rows * B_LANES) // OP_TILE) * OP_TILE
     max_ops = max(max_ops, OP_TILE)
     packed, n_real = compact_ops(kind, dstA, lnA, srcA, max_ops)
 
