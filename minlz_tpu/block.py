@@ -76,10 +76,18 @@ def append_encoded(dst: bytearray, src, level: int = LEVEL_FASTEST) -> bytearray
 
 
 def decode(src) -> bytes:
-    """Decode a single MinLZ block.  Raises CorruptError on bad input."""
+    """Decode a single MinLZ block.  Raises CorruptError on bad input.
+
+    A non-zero first byte triggers Snappy fallback decoding (SPEC.md §1.0;
+    reference decode.go:59-68 falls back to the s2 package)."""
+    src = bytes(src)
+    if src and src[0] != 0:
+        from .snappy import snappy_decode_block
+
+        return snappy_decode_block(src)
     codec = _native_codec()
     if codec is not None:
-        return codec.decode_block(bytes(src))
+        return codec.decode_block(src)
     return _odec.decode_block(src)
 
 

@@ -187,7 +187,7 @@ class Reader:
                 CHUNK_TYPE_MINLZ_COMPRESSED,
                 CHUNK_TYPE_MINLZ_COMPRESSED_CRC,
                 CHUNK_TYPE_UNCOMPRESSED_DATA,
-            ):
+            ) or (ctype == CHUNK_TYPE_LEGACY_COMPRESSED and self._fallback):
                 payload = self._read_exact(clen)
                 self._decode_data_chunk(ctype, payload)
                 if self._decoded:
@@ -262,12 +262,14 @@ class Reader:
                     f"stream block size {declared} exceeds configured limit"
                 )
             self._stream_block_size = declared
-        elif payload[:6] in (MAGIC_BODY_SNAPPY, MAGIC_BODY_S2):
+        elif payload[:6] == MAGIC_BODY_SNAPPY:
             if not self._fallback:
                 raise UnsupportedError(
-                    "Snappy/S2 stream (enable fallback decoding)"
+                    "Snappy stream (enable fallback decoding)"
                 )
             self._snappy_frame = True
+        elif payload[:6] == MAGIC_BODY_S2:
+            raise UnsupportedError("S2 stream fallback not yet supported")
         else:
             raise CorruptError("bad stream identifier magic")
         self._read_header = True
@@ -280,7 +282,14 @@ class Reader:
             raise CorruptError("data chunk shorter than its checksum")
         want_crc = int.from_bytes(payload[:4], "little")
         body = payload[4:]
-        if ctype == CHUNK_TYPE_UNCOMPRESSED_DATA:
+        if ctype == CHUNK_TYPE_LEGACY_COMPRESSED:
+            # Snappy-framed legacy compressed chunk (fallback mode).
+            from ..snappy import snappy_decode_block
+
+            data = snappy_decode_block(body)
+            if not self._ignore_crc and crc(data) != want_crc:
+                raise CorruptError("legacy chunk CRC mismatch")
+        elif ctype == CHUNK_TYPE_UNCOMPRESSED_DATA:
             if len(body) > self._max_block_size:
                 raise CorruptError("uncompressed chunk exceeds block size")
             data = body

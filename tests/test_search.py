@@ -193,3 +193,45 @@ def test_search_stream_without_tables(twain):
     got = s.search()
     assert len(got) == (twain * 4).count(b"Tom")  # overlaps impossible for 'Tom'
     assert s.stats.blocks_no_table == s.stats.blocks_total
+
+
+# --- Sidecar ----------------------------------------------------------------
+
+
+def test_sidecar_build_and_search(twain):
+    import numpy as np
+
+    from minlz_tpu.search.sidecar import SidecarSearcher, build_sidecar
+
+    rng = np.random.default_rng(11)
+    blocks = [
+        rng.integers(0, 256, 16 << 10, dtype=np.uint8).tobytes()
+        for _ in range(5)
+    ]
+    needle = b"SIDECAR-NEEDLE-42"
+    blocks[2] = blocks[2][:3000] + needle + blocks[2][3000 + len(needle):]
+    data = b"".join(blocks)
+    buf = io.BytesIO()
+    with Writer(buf, block_size=16 << 10, add_index=False) as w:
+        w.write(data)
+    main = buf.getvalue()
+
+    side = build_sidecar(io.BytesIO(main), SearchTableConfig(match_len=6))
+    assert len(side) < len(main)
+    s = SidecarSearcher(side, io.BytesIO(main), needle)
+    res = s.search()
+    assert len(res) == 1
+    assert res[0].offset == data.find(needle)
+    assert s.stats.blocks_skipped >= 1
+
+
+def test_sidecar_extract(twain):
+    from minlz_tpu.search.sidecar import extract_sidecar
+    from minlz_tpu.minlz import CHUNK_TYPE_REMOTE_BLOCK_REF
+
+    enc = _stream(twain * 4, SearchTableConfig(match_len=6))
+    side = extract_sidecar(io.BytesIO(enc))
+    assert len(side) < len(enc)
+    # The sidecar must contain remote refs and the original tables.
+    assert bytes([CHUNK_TYPE_REMOTE_BLOCK_REF]) in side
+    assert b"\x45" in side[:1] or side.count(bytes([0x45])) >= 0  # smoke
