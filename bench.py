@@ -150,31 +150,25 @@ def main():
         jnp.asarray(np.frombuffer(b, np.uint8))[None, :] for b in blocks
     ]
 
-    max_ops = block_size // 4
-
     def enc_step(flat_u8):
         flat = flat_u8.astype(jnp.int32)
-        dist, length = ek.find_matches_dyn(flat, block_size, seg)
-        return ek.greedy_parse_compact(
-            dist.reshape(nseg, seg), length.reshape(nseg, seg), seg, max_ops
-        )
+        dist, _ = ek.find_matches_dyn(flat, block_size, seg)
+        return dist
 
     enc_fn = jax.jit(enc_step)
     t_enc_dev, _ = timed_device(enc_fn, (data_dev[0],), ITERS)
     t_enc_dev_total = t_enc_dev * n_blocks
 
-    # ---------------- Encode host phase (serialization) -------------------
-    parse_results = []
-    for d in data_dev:
-        r = enc_fn(d)
-        parse_results.append(tuple(np.asarray(x) for x in r))
+    # ---------------- Encode host phase (parse + serialization) -----------
+    from minlz_tpu.native.codec import get_codec
+
+    codec = get_codec()
+    dists = [np.asarray(enc_fn(d)).reshape(-1) for d in data_dev]
     t0 = time.perf_counter()
     blocks_enc = []
     all_hints = []
-    for b, (pos, off, ln, isrep, count) in zip(blocks, parse_results):
-        body, hints = ek.serialize_block(
-            b, pos, off, ln, isrep, int(count), seg
-        )
+    for b, dist_np in zip(blocks, dists):
+        body, hints = codec.parse_serialize(b, dist_np, seg)
         blocks_enc.append(body)
         all_hints.append(hints)
     t_enc_host = time.perf_counter() - t0
@@ -229,9 +223,9 @@ def main():
         kind, dstA, lnA, srcA = pdk.parse_segments_pallas(
             words_d, lens_d, n_rows
         )
-        packed, _ = pdk.compact_ops(kind, dstA, lnA, srcA, max_ops)
+        packed, n_real = pdk.compact_ops(kind, dstA, lnA, srcA, max_ops)
         return pdk.execute_ops_pallas(
-            packed, comp_flat.reshape(-1, 128), max_ops, pc,
+            packed, n_real, comp_flat.reshape(-1, 128), max_ops, pc,
             n_out_rows, seg_rows,
         )
 

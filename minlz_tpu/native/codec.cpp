@@ -160,6 +160,21 @@ long decode_body(const uint8_t* src, size_t slen, uint8_t* dst, size_t want) {
 inline uint32_t hash4(uint32_t v, int bits) {
   return (v * 2654435761u) >> (32 - bits);
 }
+inline uint32_t hash8(uint64_t v, int bits) {
+  return (uint32_t)((v * 0x9E3779B185EBCA87ull) >> (64 - bits));
+}
+
+// 8-byte-XOR forward match extension.
+inline size_t match_len(const uint8_t* a, const uint8_t* b, size_t max) {
+  size_t i = 0;
+  while (i + 8 <= max) {
+    uint64_t diff = load64(a + i) ^ load64(b + i);
+    if (diff) return i + (__builtin_ctzll(diff) >> 3);
+    i += 8;
+  }
+  while (i < max && a[i] == b[i]) i++;
+  return i;
+}
 
 void emit_literals(std::vector<uint8_t>& out, const uint8_t* lits, size_t n) {
   if (!n) return;
@@ -311,7 +326,7 @@ size_t put_uvarint(uint8_t* p, uint64_t v) {
 }
 
 long encode_greedy(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
-                   int table_bits) {
+                   int table_bits, int skip_log) {
   std::vector<uint32_t> table((size_t)1 << table_bits, 0);
   const size_t s_limit = n - 4;
   const size_t dst_limit = n - 1;  // body must be < n
@@ -321,7 +336,8 @@ long encode_greedy(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
   uint32_t rep = 0;
 
   while (true) {
-    // Probe for a match.
+    // Probe for a match, accelerating through incompressible regions
+    // (reference skip heuristic: step grows with literal run length).
     size_t candidate;
     uint32_t cv;
     while (true) {
@@ -333,7 +349,7 @@ long encode_greedy(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
       if (candidate && s - candidate <= (2u << 20) + 65535 &&
           cv == load32(src + candidate))
         break;
-      s++;
+      s += 1 + ((s - next_emit) >> skip_log);
     }
     {
       size_t base = s;
@@ -398,6 +414,263 @@ remainder:
   return (long)out.size();
 }
 
+// ---------------------------------------------------------------------------
+// Level 2 "Balanced": dual hash tables (long 8-byte + short 4-byte probes).
+// Behavioral model: reference encode_l2.go (two-table probe preferring
+// 8-byte-confirmed long matches); clean-room implementation.
+// ---------------------------------------------------------------------------
+
+constexpr uint32_t kMaxOffset = (2u << 20) + 65535;
+
+// Cost in bytes of emitting a copy of (offset, length) given current rep.
+inline uint32_t copy_cost(uint32_t offset, uint32_t length, uint32_t rep) {
+  if (offset == rep) {
+    uint32_t v = length - 1;
+    if (v < 29) return 1;
+    v = length - 30;
+    return v < 256 ? 2 : v < 65536 ? 3 : 4;
+  }
+  if (offset <= 1024) {
+    if (length <= 18) return 2;
+    if (length <= 273) return 3;
+    uint32_t v = length - 18 - 30;
+    return 3 + (length - 18 - 1 < 29 ? 1 : v < 256 ? 2 : v < 65536 ? 3 : 4);
+  }
+  if (offset <= 65599) {
+    uint32_t l = length - 4;
+    if (l <= 60) return 3;
+    l -= 60;
+    return l < 256 ? 4 : l < 65536 ? 5 : 6;
+  }
+  uint32_t l = length - 4;
+  if (l <= 60) return 4;
+  l -= 60;
+  return l < 256 ? 5 : l < 65536 ? 6 : 7;
+}
+
+inline uint32_t literal_cost(size_t n) {
+  if (n == 0) return 0;
+  if (n < 30) return 1 + n;
+  size_t v = n - 30;
+  return (v < 256 ? 2 : v < 65536 ? 3 : 4) + n;
+}
+
+// Shared emit step used by L2/L3 once a match (base, offset, length) is
+// chosen: pending literals [next_emit, base) + the copy token, with fused
+// variants when profitable.  Updates rep.  Returns false on output overflow.
+inline void emit_match(std::vector<uint8_t>& out, const uint8_t* src,
+                       size_t next_emit, size_t base, uint32_t offset,
+                       uint32_t length, uint32_t& rep) {
+  size_t nlits = base - next_emit;
+  const uint8_t* lits = src + next_emit;
+  if (offset == rep) {
+    if (nlits) emit_literals(out, lits, nlits);
+    emit_repeat(out, length);
+    return;
+  }
+  if (nlits && offset >= 64 &&
+      (nlits <= 3 || (offset <= 65599 && nlits <= 4))) {
+    if (offset <= 65599) {
+      emit_fused2(out, lits, (uint32_t)nlits, offset, length);
+    } else {
+      emit_copy3(out, offset, length, lits, (uint32_t)nlits);
+    }
+  } else {
+    if (nlits) emit_literals(out, lits, nlits);
+    if (offset <= 1024) emit_copy1(out, offset, length);
+    else if (offset <= 65599) emit_copy2(out, offset, length);
+    else emit_copy3(out, offset, length, nullptr, 0);
+  }
+  rep = offset;
+}
+
+long encode_balanced(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
+  const int lbits = n < (64u << 10) ? 16 : 17;
+  const int sbits = n < (64u << 10) ? 13 : 14;
+  std::vector<uint32_t> longT((size_t)1 << lbits, 0);
+  std::vector<uint32_t> shortT((size_t)1 << sbits, 0);
+  const size_t s_limit = n - 8;
+  const size_t dst_limit = n - (n >> 5) - 6;
+
+  size_t next_emit = 0, s = 1;
+  uint32_t rep = 0;
+
+  while (s <= s_limit) {
+    uint64_t cv = load64(src + s);
+    uint32_t hl = hash8(cv, lbits);
+    uint32_t hs = hash4((uint32_t)cv, sbits);
+    size_t candL = longT[hl], candS = shortT[hs];
+    longT[hl] = (uint32_t)s;
+    shortT[hs] = (uint32_t)s;
+
+    size_t best_cand = 0, best_len = 0;
+    // Repeat first: 1-byte emit beats anything of similar length.
+    if (rep && s >= rep && load32(src + s) == load32(src + s - rep)) {
+      size_t l = 4 + match_len(src + s + 4, src + s - rep + 4, n - s - 4);
+      // Emit immediately: repeats are nearly free.
+      size_t base = s;
+      emit_match(out, src, next_emit, base, rep, (uint32_t)l, rep);
+      s += l;
+      next_emit = s;
+      if (out.size() > dst_limit) return -1;
+      if (s > s_limit) break;
+      // Index the skipped span sparsely.
+      for (size_t i = base + 1; i + 8 <= s; i += 2) {
+        uint64_t v = load64(src + i);
+        longT[hash8(v, lbits)] = (uint32_t)i;
+        shortT[hash4((uint32_t)v, sbits)] = (uint32_t)i;
+      }
+      continue;
+    }
+    if (candL && s - candL <= kMaxOffset && load32(src + candL) == (uint32_t)cv) {
+      best_cand = candL;
+      best_len = 4 + match_len(src + s + 4, src + candL + 4, n - s - 4);
+    }
+    if (candS && s - candS <= kMaxOffset && load32(src + candS) == (uint32_t)cv) {
+      size_t l = 4 + match_len(src + s + 4, src + candS + 4, n - s - 4);
+      // Prefer the shorter-offset short candidate on ties (cheaper token).
+      if (l > best_len || (l == best_len && candS > best_cand)) {
+        best_cand = candS;
+        best_len = l;
+      }
+    }
+    if (best_len >= 4) {
+      size_t base = s, cand = best_cand;
+      while (base > next_emit && cand > 0 && src[base - 1] == src[cand - 1]) {
+        base--;
+        cand--;
+        best_len++;
+      }
+      uint32_t offset = (uint32_t)(base - cand);
+      emit_match(out, src, next_emit, base, offset, (uint32_t)best_len, rep);
+      size_t end = base + best_len;
+      if (out.size() > dst_limit) return -1;
+      // Index interior positions.
+      size_t step = best_len < 512 ? 1 : 2;
+      for (size_t i = s + 1; i + 8 <= end; i += step) {
+        uint64_t v = load64(src + i);
+        longT[hash8(v, lbits)] = (uint32_t)i;
+        shortT[hash4((uint32_t)v, sbits)] = (uint32_t)i;
+      }
+      s = end;
+      next_emit = s;
+      continue;
+    }
+    s += 1 + ((s - next_emit) >> 7);
+  }
+
+  if (next_emit < n) {
+    if (out.size() + literal_cost(n - next_emit) > dst_limit) return -1;
+    emit_literals(out, src + next_emit, n - next_emit);
+  }
+  return (long)out.size();
+}
+
+// ---------------------------------------------------------------------------
+// Level 3 "Smallest": exhaustive candidate scoring (reference encode_l3.go
+// model: 2-way long/short tables, repeat + lookahead candidates, gain-scored
+// selection).  No speed target.
+// ---------------------------------------------------------------------------
+
+long encode_best(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
+  const int lbits = 20, sbits = 18;
+  // Each entry packs two candidates: newest in low 32, previous in high 32.
+  std::vector<uint64_t> longT((size_t)1 << lbits, 0);
+  std::vector<uint64_t> shortT((size_t)1 << sbits, 0);
+  const size_t s_limit = n - 8;
+  const size_t dst_limit = n - 5;
+
+  size_t next_emit = 0, s = 1;
+  uint32_t rep = 0;
+
+  auto insert = [&](size_t i) {
+    uint64_t v = load64(src + i);
+    uint64_t& le = longT[hash8(v, lbits)];
+    le = (le << 32) | (uint32_t)i;
+    uint64_t& se = shortT[hash4((uint32_t)v, sbits)];
+    se = (se << 32) | (uint32_t)i;
+  };
+
+  struct Best {
+    size_t base = 0, cand = 0, len = 0;
+    long gain = 0;
+    bool is_rep = false;
+  };
+
+  while (s <= s_limit) {
+    Best best;
+    // Evaluate a candidate match starting at `at` vs source `cand`.
+    auto consider = [&](size_t at, size_t cand, bool is_rep) {
+      if (at > s_limit) return;
+      if (!is_rep) {
+        if (cand == 0 || cand >= at || at - cand > kMaxOffset) return;
+        if (load32(src + at) != load32(src + cand)) return;
+      } else {
+        if (cand >= at) return;
+        if (load32(src + at) != load32(src + cand)) return;
+      }
+      size_t len = 4 + match_len(src + at + 4, src + cand + 4, n - at - 4);
+      size_t base = at, c = cand;
+      while (base > next_emit && c > 0 && src[base - 1] == src[c - 1]) {
+        base--;
+        c--;
+        len++;
+      }
+      uint32_t offset = (uint32_t)(base - c);
+      bool rep_now = offset == rep;
+      // Gain: bytes covered minus token cost minus extra literal cost of
+      // the bytes between next_emit and base (they are emitted either way;
+      // only their header amortization differs, ignored here).
+      long gain = (long)len - (long)copy_cost(offset, (uint32_t)len, rep_now ? rep : 0xFFFFFFFFu);
+      if (rep_now) gain += 1;  // repeat keeps the offset live; mild bonus
+      if (gain > best.gain) {
+        best = {base, c, len, gain, rep_now};
+      }
+    };
+
+    uint64_t cv = load64(src + s);
+    uint64_t le = longT[hash8(cv, lbits)];
+    uint64_t se = shortT[hash4((uint32_t)cv, sbits)];
+    consider(s, (uint32_t)le, false);
+    consider(s, (uint32_t)(le >> 32), false);
+    consider(s, (uint32_t)se, false);
+    consider(s, (uint32_t)(se >> 32), false);
+    if (rep && s >= rep) consider(s, s - rep, true);
+    if (rep && s + 1 >= rep && s + 1 <= s_limit) consider(s + 1, s + 1 - rep, true);
+    // Lookahead: candidates at s+1 (cost one extra literal).
+    if (s + 1 <= s_limit) {
+      uint64_t cv1 = load64(src + s + 1);
+      uint64_t le1 = longT[hash8(cv1, lbits)];
+      uint64_t se1 = shortT[hash4((uint32_t)cv1, sbits)];
+      consider(s + 1, (uint32_t)le1, false);
+      consider(s + 1, (uint32_t)(le1 >> 32), false);
+      consider(s + 1, (uint32_t)se1, false);
+      consider(s + 1, (uint32_t)(se1 >> 32), false);
+    }
+    insert(s);
+
+    if (best.len >= 4 && best.gain > 0) {
+      uint32_t offset = (uint32_t)(best.base - best.cand);
+      emit_match(out, src, next_emit, best.base, offset, (uint32_t)best.len,
+                 rep);
+      size_t end = best.base + best.len;
+      if (out.size() > dst_limit) return -1;
+      for (size_t i = s + 1; i + 8 <= end; i++) insert(i);
+      s = end;
+      next_emit = s;
+      continue;
+    }
+    size_t skip = 1 + ((s - next_emit) >> 8);
+    s += skip < 64 ? skip : 64;
+  }
+
+  if (next_emit < n) {
+    if (out.size() + literal_cost(n - next_emit) > dst_limit) return -1;
+    emit_literals(out, src + next_emit, n - next_emit);
+  }
+  return (long)out.size();
+}
+
 }  // namespace
 
 extern "C" {
@@ -449,10 +722,18 @@ MINLZ_EXPORT long minlz_encode_block(const uint8_t* src, size_t n,
   };
   if (n <= 16) return uncompressed();
 
-  int bits = level <= -1 ? 13 : level == 1 ? 15 : level == 2 ? 17 : 18;
   std::vector<uint8_t> body;
   body.reserve(n / 2);
-  long blen = encode_greedy(src, n, body, bits);
+  long blen;
+  if (level >= 3 && n > 16) {
+    blen = encode_best(src, n, body);
+  } else if (level == 2) {
+    blen = encode_balanced(src, n, body);
+  } else {
+    int bits = level <= -1 ? 13 : 15;
+    int skip_log = level <= -1 ? 5 : 6;
+    blen = encode_greedy(src, n, body, bits, skip_log);
+  }
   if (blen < 0) return uncompressed();
 
   uint8_t hdr[12];
@@ -468,6 +749,110 @@ MINLZ_EXPORT long minlz_encode_block(const uint8_t* src, size_t n,
 }  // extern "C"
 
 extern "C" {
+
+// Fused greedy parse + serialize from per-position device match proposals.
+//
+// dist/len: int32[n] candidate arrays from the TPU match finder.  Proposals
+// are hints: every chosen match is re-verified and re-extended byte-exactly
+// here (so coarse/hash-only device levels cannot corrupt output), with
+// 1-step lazy lookahead and repeat-offset detection.  Match output spans
+// never cross `seg` boundaries (the decode-parallel unit); hints_out gets
+// the body offset of each segment.  Returns body size, or -1 when the body
+// would reach `limit` (caller falls back to uncompressed).
+MINLZ_EXPORT long minlz_parse_serialize(
+    const uint8_t* src, size_t n, const int32_t* dist, const int32_t* len,
+    size_t seg, uint8_t* out, size_t outcap, size_t limit,
+    int64_t* hints_out) {
+  std::vector<uint8_t> body;
+  body.reserve(n / 2 + 64);
+  size_t nseg = (n + seg - 1) / seg;
+
+  for (size_t si = 0; si < nseg; si++) {
+    size_t s0 = si * seg;
+    size_t s1 = s0 + seg < n ? s0 + seg : n;
+    hints_out[si] = (int64_t)body.size();
+    size_t lit_start = s0;
+    uint32_t rep = 0;
+    size_t p = s0;
+
+    // Verified match length at q for distance d, capped at segment end.
+    auto vlen = [&](size_t q, uint32_t d) -> size_t {
+      if (!d || d > q || d > kMaxOffset) return 0;
+      size_t m = match_len(src + q, src + q - d, s1 - q);
+      return m >= 4 ? m : 0;
+    };
+
+    while (p + 4 <= s1) {
+      uint32_t d = (uint32_t)dist[p];
+      size_t l = vlen(p, d);
+      bool is_rep = false;
+      // Repeat probe: a repeat token is 1-3 bytes regardless of offset.
+      if (rep && rep <= p) {
+        size_t rl = match_len(src + p, src + p - rep, s1 - p);
+        if (rl >= 2 && rl + 2 >= l) {
+          d = rep;
+          l = rl;
+          is_rep = true;
+        }
+      }
+      if (l < 4 && !is_rep) {
+        p++;
+        continue;
+      }
+      // Lazy lookahead: a strictly better match one byte ahead wins
+      // (never defers a repeat — repeats are nearly free to emit).
+      if (!is_rep && p + 5 <= s1) {
+        uint32_t d1 = (uint32_t)dist[p + 1];
+        if (d1 && d1 != d) {
+          size_t l1 = vlen(p + 1, d1);
+          if (l1 > l + 1) {
+            p++;
+            continue;
+          }
+        }
+      }
+      // Backward extension over pending literals (not past segment start).
+      size_t base = p;
+      while (base > lit_start && base > d &&
+             src[base - 1] == src[base - 1 - d]) {
+        base--;
+        l++;
+      }
+      size_t nlits = base - lit_start;
+      const uint8_t* lits = src + lit_start;
+      if (d == rep) {
+        if (nlits) emit_literals(body, lits, nlits);
+        emit_repeat(body, (uint32_t)l);
+      } else {
+        bool fused = false;
+        if (nlits && d >= 64 && (nlits <= 3 || (d <= 65599 && nlits <= 4))) {
+          if (d <= 65599) {
+            emit_fused2(body, lits, (uint32_t)nlits, d, (uint32_t)l);
+          } else {
+            emit_copy3(body, d, (uint32_t)l, lits, (uint32_t)nlits);
+          }
+          fused = true;
+        } else if (nlits) {
+          emit_literals(body, lits, nlits);
+        }
+        if (!fused) {
+          if (d <= 1024) emit_copy1(body, d, (uint32_t)l);
+          else if (d <= 65599) emit_copy2(body, d, (uint32_t)l);
+          else emit_copy3(body, d, (uint32_t)l, nullptr, 0);
+        }
+        rep = d;
+      }
+      p = base + l;
+      lit_start = p;
+      if (body.size() >= limit) return -1;
+    }
+    if (lit_start < s1) emit_literals(body, src + lit_start, s1 - lit_start);
+    if (body.size() >= limit) return -1;
+  }
+  if (body.size() > outcap) return -2;
+  memcpy(out, body.data(), body.size());
+  return (long)body.size();
+}
 
 // Serialize a compacted op list (from the TPU greedy parse) into a MinLZ
 // block body with per-segment hint offsets.

@@ -54,6 +54,34 @@ class _NativeCodec:
             return None
         return out.raw[:wrote], [(int(h), i * seg) for i, h in enumerate(hints[:nseg])]
 
+    def parse_serialize(self, src: bytes, dist, seg: int):
+        """Fused greedy parse + serialize from device match proposals.
+
+        dist: int32[n] candidate distances (0 = none).  Every chosen match
+        is byte-verified and re-extended natively.  Returns (body, hints)
+        or None when the body would not be smaller than the input."""
+        import numpy as np
+
+        if not hasattr(self._lib, "minlz_parse_serialize"):
+            return None
+        n = len(src)
+        nseg = -(-n // seg) if n else 0
+        cap = n + 64 + 8 * max(nseg, 1)
+        out = ctypes.create_string_buffer(cap)
+        hints = np.zeros(max(nseg, 1), np.int64)
+        dist = np.ascontiguousarray(dist, np.int32)
+        lens = np.zeros(1, np.int32)  # lengths are recomputed natively
+        wrote = self._lib.minlz_parse_serialize(
+            src, n, dist.ctypes.data, lens.ctypes.data, seg, out, cap,
+            max(n - 1, 1), hints.ctypes.data,
+        )
+        if wrote < 0:
+            return None
+        return (
+            out.raw[:wrote],
+            [(int(h), i * seg) for i, h in enumerate(hints[:nseg])],
+        )
+
     def decode_block(self, src: bytes) -> bytes:
         from ..minlz import CorruptError
         from ..oracle.decode import parse_header
@@ -84,6 +112,14 @@ def get_codec():
         ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_char_p, ctypes.c_size_t,
     ]
+    if hasattr(lib, "minlz_parse_serialize"):
+        lib.minlz_parse_serialize.restype = ctypes.c_long
+        lib.minlz_parse_serialize.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_void_p,
+        ]
     if hasattr(lib, "minlz_serialize_ops"):
         lib.minlz_serialize_ops.restype = ctypes.c_long
         lib.minlz_serialize_ops.argtypes = [

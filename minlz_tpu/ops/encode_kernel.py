@@ -47,18 +47,90 @@ _POS_BITS = 14
 _PRIME4 = np.uint32(2654435761)
 
 
+_MAX_OFFSET = (1 << 21) + 65535
+
+
+def _window_pass(keyflat, vals, M, W, shift, nback):
+    """One batched windowed-sort candidate pass over M samples.
+
+    keyflat: [1, M] int32 = hash << _POS_BITS (invalid samples pre-marked
+    with a sentinel above every valid key); vals: co-verified value arrays
+    ([1, M] int32 each) — a candidate requires equal hash AND equal values.
+    Returns nback candidate arrays ([1, M] global sample index or -1): the
+    1st..nback-th previous same-key sample within the window.
+    """
+    k = jnp.roll(keyflat, shift, axis=1) if shift else keyflat
+    vs = [jnp.roll(v, shift, axis=1) if shift else v for v in vals]
+    nwin = M // W
+    lpos = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (nwin, W))
+    key = k.reshape(nwin, W) | lpos
+    sorted_ = jax.lax.sort(
+        (key, *[v.reshape(nwin, W) for v in vs]), dimension=1, num_keys=1
+    )
+    key_s = sorted_[0]
+    vs_s = sorted_[1:]
+    pos_s = key_s & ((1 << _POS_BITS) - 1)
+    h_s = key_s >> _POS_BITS
+    idx = jnp.arange(W)[None, :]
+    cs = []
+    for back in range(1, nback + 1):
+        ok = (h_s == jnp.roll(h_s, back, axis=1)) & (idx >= back)
+        for v in vs_s:
+            ok &= v == jnp.roll(v, back, axis=1)
+        cs.append(jnp.where(ok, jnp.roll(pos_s, back, axis=1), -1))
+    unsorted = jax.lax.sort((pos_s, *cs), dimension=1, num_keys=1)
+    base = (jnp.arange(nwin, dtype=jnp.int32) * W)[:, None]
+    out = []
+    for c in unsorted[1:]:
+        g = jnp.where(c >= 0, c + base, -1).reshape(1, M)
+        if shift:
+            # Undo the roll: array index -> original sample index.
+            g = jnp.roll(g, -shift, axis=1)
+            g = jnp.where(g >= 0, (g - shift) % M, -1)
+        out.append(g)
+    return out
+
+
+def _run_doubling(ext, cap):
+    """runs[i] = length of the consecutive-True run starting at i+? — counts
+    extensions by log-doubling; capped at `cap` (segment room bounds all
+    useful lengths, so deeper doubling is wasted work)."""
+    runs = ext.astype(jnp.int32)
+    shift = 1
+    while shift < cap:
+        carry = jnp.roll(runs, -shift, axis=1)
+        runs = runs + jnp.where(runs == shift, carry, 0)
+        shift *= 2
+    return runs
+
+
 def find_matches_dyn(data_flat, n, seg: int = SEG):
     """data_flat: [1, N] int32 bytes of the whole block (N = padded);
     ``n`` may be a traced scalar (shard_map / vmap use).
 
-    Candidates come from batched windowed sorts (guaranteed coverage for
-    distances < WINDOW/2); lengths are byte-exact same-distance runs counted
-    with log-doubling.  Returns (off, length) as [1, N] int32; length is
-    capped so no match crosses a segment boundary (the decode-parallel
-    unit).
+    Multi-level match finder (all levels are batched windowed sorts — no
+    hash tables, no gathers):
+      * level 0 — stride 1, 4-byte values, byte-exact runs; covers
+        distances < ~8KiB.
+      * level 1 — stride 8, 8-byte sample values (fully verified via two
+        co-sorted words; consecutive samples tile contiguously), lengths in
+        8-byte units; covers distances < ~64KiB.
+      * level 2 — stride 64, two 32-bit mixes of each 64-byte chunk
+        (hash-verified only — the host serializer re-verifies every match
+        byte-exactly); covers distances < ~1MiB.
+    Returns (dist, length) as [1, N] int32.  Lengths from levels 1/2 are
+    proposals measured in whole strides; the host parse re-extends.
+    Length is capped so no match output crosses a segment boundary (the
+    decode-parallel unit).
     """
     N = data_flat.shape[1]
     d = data_flat.astype(jnp.uint32)
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (1, N))
+
+    best_dist = jnp.zeros_like(pos)
+    best_len = jnp.zeros_like(pos)
+
+    # ---- level 0: stride 1, exact 4-byte windows -------------------------
     v0 = (
         d
         | jnp.roll(d, -1, axis=1) << 8
@@ -66,86 +138,96 @@ def find_matches_dyn(data_flat, n, seg: int = SEG):
         | jnp.roll(d, -3, axis=1) << 24
     )
     h = ((v0 * _PRIME4) >> (32 - _HASH_BITS)).astype(jnp.int32)
-    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (1, N))
     valid = pos <= n - 4
-
-    # Batched windowed sort: one row per WINDOW-sized span (single-row sorts
-    # of 1M+ elements are pathological on TPU; batched rows sort at full
-    # VPU rate).  Key packs (hash, local pos) into one int32 so an unstable
-    # sort is deterministic; invalid positions get unique oversize keys.
-    # Two passes — aligned and half-window shifted — guarantee any match
-    # with distance < W/2 is found regardless of window alignment.
     W = min(WINDOW, N)
-    keyflat = jnp.where(valid, (h << _POS_BITS), (1 << 31) - (1 << _POS_BITS))
+    sentinel = (1 << 31) - (1 << _POS_BITS)
+    keyflat = jnp.where(valid, (h << _POS_BITS), sentinel)
     v0i = v0.astype(jnp.int32)
 
-    def window_pass(shift):
-        # Roll so windows start at `shift`; candidates come back global.
-        k = jnp.roll(keyflat, shift, axis=1)
-        v = jnp.roll(v0i, shift, axis=1)
-        nwin = N // W
-        lpos = jnp.broadcast_to(
-            jnp.arange(W, dtype=jnp.int32)[None, :], (nwin, W)
-        )
-        key = k.reshape(nwin, W) | lpos
-        key_s, v0_s = jax.lax.sort(
-            (key, v.reshape(nwin, W)), dimension=1, num_keys=1
-        )
-        pos_s = key_s & ((1 << _POS_BITS) - 1)
-        h_s = key_s >> _POS_BITS
-        idx = jnp.arange(W)[None, :]
-        cs = []
-        for back in (1, 2, 3):
-            ok = (
-                (h_s == jnp.roll(h_s, back, axis=1))
-                & (v0_s == jnp.roll(v0_s, back, axis=1))
-                & (idx >= back)
-            )
-            cs.append(jnp.where(ok, jnp.roll(pos_s, back, axis=1), -1))
-        unsorted = jax.lax.sort((pos_s, *cs), dimension=1, num_keys=1)
-        base = (jnp.arange(nwin, dtype=jnp.int32) * W)[:, None]
-        out = []
-        for c in unsorted[1:]:
-            g = jnp.where(c >= 0, c + base, -1).reshape(1, N)
-            # Undo the roll: array index -> original position.
-            g = jnp.roll(g, -shift, axis=1)
-            g = jnp.where(g >= 0, (g - shift) % N, -1)
-            out.append(g)
-        return out
-
-    cands = window_pass(0)
+    cands = _window_pass(keyflat, [v0i], N, W, 0, nback=2)
     if N > W:
-        cands += window_pass(W // 2)[:1]  # shifted pass: nearest cand only
+        cands += _window_pass(keyflat, [v0i], N, W, W // 2, nback=1)
 
-    best_dist = jnp.zeros_like(pos)
-    best_len = jnp.zeros_like(pos)
     for cand in cands:
         dist = jnp.where(cand >= 0, pos - cand, 0)
-        # Negative distances can appear for rolled-pass wraparound; drop
-        # them along with over-range ones (Copy3 caps at 2,162,687 back).
-        dist = jnp.where(
-            (dist > 0) & (dist <= (1 << 21) + 65535), dist, 0
-        )
-        # Byte-exact length: run of consecutive same-distance candidates
-        # counted with log-doubling (invariant: runs = min(true_run, shift)).
+        dist = jnp.where((dist > 0) & (dist <= _MAX_OFFSET), dist, 0)
         dist1 = jnp.roll(dist, -1, axis=1)
         ext = (dist > 0) & (dist1 == dist) & (pos + 5 <= n)
-        runs = ext.astype(jnp.int32)
-        shift = 1
-        while shift * 2 <= N:
-            carry = jnp.roll(runs, -shift, axis=1)
-            runs = runs + jnp.where(runs == shift, carry, 0)
-            shift *= 2
+        runs = _run_doubling(ext, seg)
         length = jnp.where(dist > 0, 4 + runs, 0)
         better = length > best_len
         best_dist = jnp.where(better, dist, best_dist)
         best_len = jnp.where(better, length, best_len)
+
+    # ---- levels 1/2: strided samples for long-range matches --------------
+    for stride, mixed in ((8, False), (64, True)):
+        M = N // stride
+        if M < 256:
+            break
+        words = data_flat.reshape(1, M, stride).astype(jnp.uint32)
+        w32 = [
+            (
+                words[:, :, k]
+                | words[:, :, k + 1] << 8
+                | words[:, :, k + 2] << 16
+                | words[:, :, k + 3] << 24
+            )
+            for k in range(0, stride, 4)
+        ]
+        if mixed:
+            # Two independent 32-bit multiplicative mixes of the chunk.
+            m1 = jnp.zeros_like(w32[0])
+            m2 = jnp.zeros_like(w32[0])
+            for w in w32:
+                m1 = m1 * np.uint32(2654435761) + w
+                m2 = m2 * np.uint32(0x9E3779B1) + (w ^ np.uint32(0x85EBCA6B))
+            vals = [m1.astype(jnp.int32), m2.astype(jnp.int32)]
+            hs = ((m1 ^ m2) * _PRIME4) >> (32 - _HASH_BITS)
+        else:
+            vals = [w.astype(jnp.int32) for w in w32]
+            hs = ((w32[0] * _PRIME4) ^ (w32[1] * np.uint32(0x9E3779B1))) >> (
+                32 - _HASH_BITS
+            )
+        hs = hs.astype(jnp.int32)
+        spos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (1, M))
+        svalid = spos * stride + stride <= n
+        keyflat = jnp.where(svalid, hs << _POS_BITS, sentinel)
+        Ws = min(WINDOW, M)
+        scands = _window_pass(keyflat, vals, M, Ws, 0, nback=1)
+        if M > Ws:
+            scands += _window_pass(keyflat, vals, M, Ws, Ws // 2, nback=1)
+        run_cap = max(seg // stride, 2)
+        sd_best = jnp.zeros_like(spos)
+        sl_best = jnp.zeros_like(spos)
+        for cand in scands:
+            sd = jnp.where(cand >= 0, spos - cand, 0)
+            sdist = sd * stride
+            sdist = jnp.where((sd > 0) & (sdist <= _MAX_OFFSET), sdist, 0)
+            sd1 = jnp.roll(sdist, -1, axis=1)
+            ext = (sdist > 0) & (sd1 == sdist)
+            runs = _run_doubling(ext, run_cap)
+            ln = jnp.where(sdist > 0, stride * (1 + runs), 0)
+            better = ln > sl_best
+            sd_best = jnp.where(better, sdist, sd_best)
+            sl_best = jnp.where(better, ln, sl_best)
+        # Expand sample hits to full resolution (value at sample position).
+        zeros = jnp.zeros((1, M, stride - 1), jnp.int32)
+        dist_full = jnp.concatenate(
+            [sd_best[:, :, None], zeros], axis=2
+        ).reshape(1, N)
+        len_full = jnp.concatenate(
+            [sl_best[:, :, None], zeros], axis=2
+        ).reshape(1, N)
+        better = len_full > best_len
+        best_dist = jnp.where(better, dist_full, best_dist)
+        best_len = jnp.where(better, len_full, best_len)
 
     # No match may cross its segment end (decode-parallel boundary) nor the
     # block end.
     seg_room = seg - (pos % seg)
     best_len = jnp.minimum(best_len, jnp.minimum(seg_room, n - pos))
     best_len = jnp.where(best_len >= 4, best_len, 0)
+    best_dist = jnp.where(best_len >= 4, best_dist, 0)
     return best_dist, best_len
 
 
@@ -247,6 +329,15 @@ def serialize_block(data: bytes, pos, off, ln, is_rep, count,
             p = int(pos[i])
             o = int(off[i])
             l = int(ln[i])
+            # Device lengths are proposals (coarse levels are hash-verified
+            # only): confirm byte-exactly, truncating at first mismatch.
+            lv = 0
+            while lv < l and data[p + lv] == data[p - o + lv]:
+                lv += 1
+            l = lv
+            if l < 4:
+                i += 1
+                continue
             lits = data[lit_start:p]
             if is_rep[i] and o == rep:
                 if lits:
@@ -354,21 +445,26 @@ def encode_block_device(data: bytes, seg: int = SEG):
     dist, length = find_matches(
         jnp.asarray(flat, dtype=jnp.int32)[None, :], n, seg
     )
-    nrows = N // seg
-    pos, off, ln, isrep, count = greedy_parse_compact(
-        dist.reshape(nrows, seg), length.reshape(nrows, seg), seg, N // 4
-    )
-    pos, off, ln, isrep, count = (
-        np.asarray(pos), np.asarray(off), np.asarray(ln), np.asarray(isrep),
-        int(count),
-    )
     from ..native.codec import get_codec
 
     codec = get_codec()
-    res = codec.serialize_ops(data, pos, off, ln, isrep, count, seg)         if codec is not None else None
+    res = None
+    if codec is not None:
+        # Fused native parse+serialize: verifies and re-extends every device
+        # match proposal byte-exactly (device lengths are only hints).
+        dist_np = np.asarray(dist).reshape(-1)[:n]
+        res = codec.parse_serialize(data, dist_np, seg)
     if res is not None:
         body, hints = res
     else:
+        nrows = N // seg
+        pos, off, ln, isrep, count = greedy_parse_compact(
+            dist.reshape(nrows, seg), length.reshape(nrows, seg), seg, N // 4
+        )
+        pos, off, ln, isrep, count = (
+            np.asarray(pos), np.asarray(off), np.asarray(ln),
+            np.asarray(isrep), int(count),
+        )
         body, hints = serialize_block(data, pos, off, ln, isrep, count, seg)
     if len(body) >= n:
         # Spec: compressed body must be smaller than the decompressed block;

@@ -130,7 +130,7 @@ def _make_exec_kernel(seg_rows: int, comp_rows_per_lane: int):
     (the native 128-lane shuffle); stores are masked RMW.
     """
 
-    def _exec_kernel(ops_ref, comp_ref, out_ref):
+    def _exec_kernel(count_ref, ops_ref, comp_ref, out_ref):
         iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
         def make_window(ref, base_row):
@@ -154,13 +154,14 @@ def _make_exec_kernel(seg_rows: int, comp_rows_per_lane: int):
             return window
 
         def do_op(i, _):
-            lk = ops_ref[i * 4]
-            lane = lk & 0xFFFF
-            kind = lk >> 16
+            a = ops_ref[i * 2]
+            b = ops_ref[i * 2 + 1]
+            lane = (b >> 22) & 255
+            kind = a >> 25
             # Output positions are global within the block.
-            gdst = lane * (seg_rows * 128) + ops_ref[i * 4 + 1]
-            ln = ops_ref[i * 4 + 2]
-            src = ops_ref[i * 4 + 3]
+            gdst = lane * (seg_rows * 128) + (a & 4095)
+            ln = (a >> 12) & 8191
+            src = b & ((1 << 22) - 1)
 
             comp_win = make_window(comp_ref, lane * comp_rows_per_lane)
             out_win = make_window(out_ref, 0)
@@ -208,7 +209,11 @@ def _make_exec_kernel(seg_rows: int, comp_rows_per_lane: int):
 
             return 0
 
-        jax.lax.fori_loop(0, OP_TILE, do_op, 0)
+        # Only real ops are walked: tiles beyond the compacted count cost a
+        # single scalar compare each.
+        t = pl.program_id(0)
+        todo = jnp.clip(count_ref[0] - t * OP_TILE, 0, OP_TILE)
+        jax.lax.fori_loop(0, todo, do_op, 0)
 
     return _exec_kernel
 
@@ -216,18 +221,21 @@ def _make_exec_kernel(seg_rows: int, comp_rows_per_lane: int):
 @functools.partial(
     jax.jit, static_argnames=("n_ops", "pc", "n_out_rows", "seg_rows")
 )
-def execute_ops_pallas(ops, comp_bytes, n_ops: int, pc: int,
+def execute_ops_pallas(ops, n_real, comp_bytes, n_ops: int, pc: int,
                        n_out_rows: int, seg_rows: int):
-    """ops: [n_ops, 4] int32 (padded, kind 0 = no-op).  comp_bytes:
-    [B*pc/128, 128] int32.  Returns out [n_out_rows, 128] int32 bytes."""
+    """ops: [n_ops, 2] packed int32 (see compact_ops); n_real: scalar real
+    op count.  comp_bytes: [B*pc/128, 128] int32.  Returns out
+    [n_out_rows, 128] int32 bytes."""
     grid = (n_ops // OP_TILE,)
     n_crows = B_LANES * pc // 128
     ops = ops.reshape(-1)
+    count = jnp.asarray(n_real, jnp.int32).reshape(1)
     kernel = pl.pallas_call(
         _make_exec_kernel(seg_rows, pc // 128),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((OP_TILE * 4,), lambda t: (t,),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((OP_TILE * 2,), lambda t: (t,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n_crows, 128), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -237,37 +245,117 @@ def execute_ops_pallas(ops, comp_bytes, n_ops: int, pc: int,
         out_shape=jax.ShapeDtypeStruct((n_out_rows, 128), jnp.int32),
         interpret=_interpret(),
     )
-    return kernel(ops, comp_bytes)
+    return kernel(count, ops, comp_bytes)
 
 
 # --------------------------------------------------------------------------
-# Compaction (XLA): op arrays [P, SUB, 128] -> packed op list
+# Compaction: op arrays [P, SUB, 128] -> packed op list
+#
+# XLA's nonzero-based compaction costs ~35ms/MB on TPU; instead ops are
+# packed into two int32 words, compacted WITHIN 16K windows by a batched
+# row sort (TPU sorts batched rows at full rate), then the per-window
+# prefixes are stitched into one dense list by a Pallas kernel doing
+# lane-rotated row writes at scan-derived offsets.
 # --------------------------------------------------------------------------
+
+_CWIN = 16384  # compaction window (elements per sorted row)
+
+
+def _stitch_kernel(meta_ref, a_ref, b_ref, outa_ref, outb_ref):
+    """Copy this window's first count elements to out[offset:offset+count].
+
+    meta_ref: SMEM [nwin, 2] = (offset, count) per window.
+    a_ref/b_ref: [1, _CWIN//128 + 1, 128] sorted window (+1 zero row pad).
+    outa/outb: [max_ops//128, 128] accumulated across grid steps.
+    """
+    i = pl.program_id(0)
+    o = meta_ref[i, 0]
+    c = meta_ref[i, 1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+    def write_rows(src_ref, out_ref):
+        def body(q, _):
+            # Output row q covers global [q*128, q*128+128); lane j sources
+            # window element q*128 + j - o (negative lanes are masked out).
+            first = q * 128 - o
+            row = jnp.maximum(first, 0) // 128
+            m = first - row * 128  # in [-127, 127]
+            a = jnp.broadcast_to(src_ref[0, pl.ds(row, 1), :], (8, 128))
+            b = jnp.broadcast_to(src_ref[0, pl.ds(row + 1, 1), :], (8, 128))
+            idx = iota + m
+            va = jnp.take_along_axis(a, idx & 127, axis=1)
+            vb = jnp.take_along_axis(b, idx & 127, axis=1)
+            v = jnp.where(idx < 128, va, vb)
+            gpos = iota + q * 128
+            mask = (gpos >= o) & (gpos < o + c)
+            cur = jnp.broadcast_to(out_ref[pl.ds(q, 1), :], (8, 128))
+            out_ref[pl.ds(q, 1), :] = jnp.where(mask, v, cur)[0:1]
+            return 0
+
+        q0 = o // 128
+        jax.lax.fori_loop(q0, (o + c + 127) // 128, body, 0)
+
+    @pl.when(c > 0)
+    def _():
+        write_rows(a_ref, outa_ref)
+        write_rows(b_ref, outb_ref)
+
 
 @functools.partial(jax.jit, static_argnames=("max_ops",))
 def compact_ops(kind, dst, ln, src, max_ops: int):
-    """Flatten per-row op records into a dense [max_ops, 4] list ordered by
-    (lane, row) so each lane's ops stay in stream order."""
+    """Compact per-row op records into a dense packed list ordered by
+    (lane, row) so the whole block's ops are in output order.
+
+    Returns (packed [max_ops, 2] int32, n_real).  Word A = dst | len<<12 |
+    kind<<25; word B = src | lane<<22 (src <= 2,162,687 < 2^22)."""
     P = kind.shape[0]
     k = kind.reshape(P, -1).T.reshape(-1)  # [B*P], lane-major
     d = dst.reshape(P, -1).T.reshape(-1)
     l = ln.reshape(P, -1).T.reshape(-1)
     s = src.reshape(P, -1).T.reshape(-1)
-    lane = (
-        jax.lax.broadcasted_iota(jnp.int32, (B_LANES, P), 0).reshape(-1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B_LANES, P), 0).reshape(-1)
+    L = B_LANES * P
+    a = d | (l << 12) | (k << 25)
+    b = s | (lane << 22)
+
+    W = min(_CWIN, L)
+    nwin = L // W
+    big = jnp.int32(0x7FFFFFFF)
+    key = jnp.where(k > 0, jnp.arange(L, dtype=jnp.int32), big)
+    key_s, a_s, b_s = jax.lax.sort(
+        (key.reshape(nwin, W), a.reshape(nwin, W), b.reshape(nwin, W)),
+        dimension=1,
+        num_keys=1,
     )
-    sel = jnp.nonzero(k > 0, size=max_ops, fill_value=0)[0]
-    valid = (k > 0)[sel]
-    packed = jnp.stack(
-        [
-            jnp.where(valid, lane[sel] | (k[sel] << 16), 0),
-            d[sel],
-            l[sel],
-            s[sel],
+    counts = jnp.sum((k > 0).reshape(nwin, W), axis=1, dtype=jnp.int32)
+    offsets = jnp.cumsum(counts) - counts
+    meta = jnp.stack([offsets, counts], axis=1)
+
+    pad = jnp.zeros((nwin, 1, 128), jnp.int32)
+    a_p = jnp.concatenate([a_s.reshape(nwin, W // 128, 128), pad], axis=1)
+    b_p = jnp.concatenate([b_s.reshape(nwin, W // 128, 128), pad], axis=1)
+
+    rows = max_ops // 128
+    out = pl.pallas_call(
+        _stitch_kernel,
+        grid=(nwin,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, W // 128 + 1, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W // 128 + 1, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        axis=1,
-    )
-    return packed, jnp.sum(k > 0)
+        out_specs=[
+            pl.BlockSpec((rows, 128), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)] * 2,
+        interpret=_interpret(),
+    )(meta, a_p, b_p)
+    n_real = offsets[-1] + counts[-1]
+    packed = jnp.stack([out[0].reshape(-1), out[1].reshape(-1)], axis=1)
+    return packed, n_real
 
 
 # --------------------------------------------------------------------------
@@ -319,7 +407,7 @@ def decode_block_tpu(seg_bytes_list, out_total: int, seg: int = SEG_OUT):
     seg_rows = seg // 128
     n_out_rows = nseg * seg_rows + 8  # +8 rows window-load margin
     out = execute_ops_pallas(
-        packed, jnp.asarray(comp_flat.reshape(-1, 128)), max_ops, pc,
+        packed, n_real, jnp.asarray(comp_flat.reshape(-1, 128)), max_ops, pc,
         n_out_rows, seg_rows,
     )
     out_np = np.asarray(out).astype(np.uint8).reshape(-1)
