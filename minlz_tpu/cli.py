@@ -1,22 +1,31 @@
 """mz-compatible command line interface.
 
-Parity surface with the reference CLI (cmd/mz): ``c`` (compress), ``d``
-(decompress), ``cat``, ``tail``, ``stats``, plus ``bench``.  Search and
-sidecar front-ends arrive with the search subsystem.
+Parity surface with the reference CLI (cmd/mz/main.go:50-135 dispatch):
+``c`` (compress), ``d`` (decompress), ``cat``, ``tail``, ``s`` (search),
+``sidecar build|extract``, ``stats``, plus ``bench``.
 
 Usage:
   python -m minlz_tpu.cli c  [-1|-2|-3|-xfast] [-block] [-bs N] [-index]
-                             [-pad N] [-device] [-o OUT] FILE...
-  python -m minlz_tpu.cli d  [-offset N] [-tail N] [-limit N] [-o OUT] FILE...
+                             [-pad N] [-recomp] [-device] [-o OUT] FILE...
+  python -m minlz_tpu.cli d  [-offset N] [-tail N] [-limit N] [-follow]
+                             [-block-debug] [-o OUT] FILE...
   python -m minlz_tpu.cli cat FILE...
   python -m minlz_tpu.cli tail -n BYTES FILE
-  python -m minlz_tpu.cli stats FILE...
+  python -m minlz_tpu.cli s  [-q] [-l] [-c] [-n MAX] [-bail] [-stats]
+                             [--sidecar SIDE] PATTERN FILE...
+  python -m minlz_tpu.cli sidecar build|extract [-o OUT] FILE
+  python -m minlz_tpu.cli stats [-blocks] FILE...
   python -m minlz_tpu.cli bench [-n ITERS] FILE
+
+File arguments support ``*`` and ``**`` globs (reference
+cmd/internal/filepathx) and ``http(s)://`` URLs (reference
+cmd/internal/shttp) where network access exists.
 """
 
 from __future__ import annotations
 
 import argparse
+import glob as _glob
 import io
 import json
 import os
@@ -34,6 +43,30 @@ def _out_path(path: str, suffix: str, explicit=None) -> str:
     return path + suffix if suffix else path
 
 
+def _expand(files):
+    """Expand * and ** globs; pass URLs and plain paths through."""
+    out = []
+    for f in files:
+        if f.startswith(("http://", "https://")) or os.path.exists(f):
+            out.append(f)
+        elif any(ch in f for ch in "*?["):
+            hits = sorted(_glob.glob(f, recursive=True))
+            out.extend(hits or [f])
+        else:
+            out.append(f)
+    return out
+
+
+def _read_input(path: str) -> bytes:
+    if path.startswith(("http://", "https://")):
+        from urllib.request import urlopen
+
+        with urlopen(path) as r:  # noqa: S310 - explicit user-provided URL
+            return r.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def cmd_compress(args) -> int:
     level = (
         minlz.LEVEL_SUPER_FAST
@@ -44,9 +77,16 @@ def cmd_compress(args) -> int:
         if args.l2
         else minlz.LEVEL_FASTEST
     )
-    for path in args.files:
-        with open(path, "rb") as f:
-            data = f.read()
+    for path in _expand(args.files):
+        data = _read_input(path)
+        if args.recomp:
+            # Recompress existing MinLZ/Snappy input (reference -recomp).
+            if data[:1] == b"\x00" and not data.startswith(minlz.MAGIC_CHUNK):
+                data = blockapi.decode(data)
+            elif data.startswith(minlz.MAGIC_CHUNK) or data.startswith(
+                b"\xff\x06\x00\x00"
+            ):
+                data = Reader(io.BytesIO(data), fallback=True).readall()
         t0 = time.time()
         if args.block:
             if len(data) > minlz.MAX_BLOCK_SIZE:
@@ -78,10 +118,68 @@ def cmd_compress(args) -> int:
     return 0
 
 
+def _follow(path, args) -> int:
+    """tail -f over a growing MinLZ stream (reference -follow,
+    cmd/mz/decompress.go): re-open at the last decoded offset as the file
+    grows; Ctrl-C exits."""
+    offset = 0
+    try:
+        while True:
+            with open(path, "rb") as f:
+                r = Reader(f, ignore_missing_eof=True)
+                try:
+                    r.skip(offset)
+                    data = r.read(-1)
+                except EOFError:
+                    data = b""
+            if data:
+                sys.stdout.buffer.write(data)
+                sys.stdout.buffer.flush()
+                offset += len(data)
+            time.sleep(1.0)
+    except KeyboardInterrupt:
+        return 0
+
+
+def cmd_block_debug(path: str, raw: bytes) -> int:
+    """Dump per-op block anatomy (reference mz d -block-debug)."""
+    from .oracle.decode import iter_ops
+
+    if raw[:1] != b"\x00" or raw.startswith(minlz.MAGIC_CHUNK):
+        # Stream: dump ops of every data chunk.
+        pos = 0
+        bno = 0
+        while pos + 4 <= len(raw):
+            ctype = raw[pos]
+            clen = int.from_bytes(raw[pos + 1 : pos + 4], "little")
+            if ctype in (0x02, 0x03):
+                body = raw[pos + 8 : pos + 4 + clen]
+                print(f"block {bno} @ {pos} ({clen - 4} comp bytes):")
+                for rec in iter_ops(b"\x00" + body):
+                    cpos, opos, kind, ln, off, lits = rec
+                    extra = f" off={off}" if off else ""
+                    extra += f" +{lits}lits" if lits else ""
+                    print(f"  c{cpos:>7} o{opos:>8} {kind:<7} len={ln}{extra}")
+                bno += 1
+            pos += 4 + clen
+    else:
+        for rec in iter_ops(raw):
+            cpos, opos, kind, ln, off, lits = rec
+            extra = f" off={off}" if off else ""
+            extra += f" +{lits}lits" if lits else ""
+            print(f"c{cpos:>7} o{opos:>8} {kind:<7} len={ln}{extra}")
+    return 0
+
+
 def cmd_decompress(args, to_stdout=False) -> int:
-    for path in args.files:
-        with open(path, "rb") as f:
-            raw = f.read()
+    files = _expand(args.files)
+    if getattr(args, "follow", False):
+        return _follow(files[0], args)
+    for path in files:
+        raw = _read_input(path)
+        if getattr(args, "block_debug", False):
+            cmd_block_debug(path, raw)
+            continue
         t0 = time.time()
         if path.endswith(".mzb") or (raw[:1] == b"\x00" and not raw.startswith(minlz.MAGIC_CHUNK)):
             data = blockapi.decode(raw)
@@ -130,9 +228,8 @@ def cmd_tail(args) -> int:
 
 
 def cmd_stats(args) -> int:
-    for path in args.files:
-        with open(path, "rb") as f:
-            raw = f.read()
+    for path in _expand(args.files):
+        raw = _read_input(path)
         stats = {
             "file": path,
             "size": len(raw),
@@ -140,6 +237,10 @@ def cmd_stats(args) -> int:
             "blocks": 0,
             "uncompressed": 0,
         }
+        if args.blocks:
+            stats["ops"] = {}
+            stats["op_bytes"] = {}
+        search_pop = []
         pos = 0
         while pos + 4 <= len(raw):
             ctype = raw[pos]
@@ -151,6 +252,10 @@ def cmd_stats(args) -> int:
                 0x03: "minlz-ccrc",
                 0x20: "eof",
                 0x40: "index",
+                0x44: "search-info",
+                0x45: "search-table",
+                0x46: "search-table-compressed",
+                0x47: "remote-block-ref",
                 0x88: "parse-hint",
                 0xFE: "padding",
                 0xFF: "stream-id",
@@ -158,6 +263,21 @@ def cmd_stats(args) -> int:
             ent = stats["chunks"].setdefault(name, {"count": 0, "bytes": 0})
             ent["count"] += 1
             ent["bytes"] += clen + 4
+            if ctype in (0x45, 0x46):
+                try:
+                    import numpy as np
+
+                    if ctype == 0x45:
+                        from .search.table import parse_table_chunk as _p
+                    else:
+                        from .search.compressed import (
+                            parse_compressed_table_chunk as _p,
+                        )
+                    _, _, _, tbl = _p(raw[pos + 4 : pos + 4 + clen])
+                    pop = int(np.unpackbits(np.frombuffer(tbl, np.uint8)).sum())
+                    search_pop.append(pop / (len(tbl) * 8))
+                except Exception:
+                    pass
             if ctype in (0x01, 0x02, 0x03):
                 stats["blocks"] += 1
                 if ctype == 0x01:
@@ -167,39 +287,118 @@ def cmd_stats(args) -> int:
                         body = raw[pos + 8 : pos + 4 + clen]
                         v, _ = minlz.read_uvarint(body, 0)
                         stats["uncompressed"] += v
-                    except ValueError:
+                        if args.blocks:
+                            from .oracle.decode import iter_ops
+
+                            for _, _, kind, ln, _, fl in iter_ops(
+                                b"\x00" + body
+                            ):
+                                stats["ops"][kind] = (
+                                    stats["ops"].get(kind, 0) + 1
+                                )
+                                stats["op_bytes"][kind] = (
+                                    stats["op_bytes"].get(kind, 0) + ln + fl
+                                )
+                    except (ValueError, minlz.CorruptError):
                         pass
             pos += 4 + clen
         if stats["uncompressed"]:
             stats["ratio"] = round(len(raw) / stats["uncompressed"], 4)
-        print(json.dumps(stats, indent=2))
+        if search_pop:
+            stats["search_tables"] = {
+                "count": len(search_pop),
+                "mean_population": round(sum(search_pop) / len(search_pop), 4),
+            }
+        if args.csv:
+            flat = {
+                "file": path,
+                "size": stats["size"],
+                "blocks": stats["blocks"],
+                "uncompressed": stats["uncompressed"],
+                "ratio": stats.get("ratio", ""),
+            }
+            if path == _expand(args.files)[0]:
+                print(",".join(flat))
+            print(",".join(str(v) for v in flat.values()))
+        else:
+            print(json.dumps(stats, indent=2))
     return 0
+
+
+def _match_line(path: str, offset: int) -> bytes:
+    """Extract the line containing uncompressed ``offset`` via the seek
+    index (reference mz search -l line extraction)."""
+    with open(path, "rb") as f:
+        rs = ReadSeeker(f)
+        start = max(offset - 256, 0)
+        rs.seek(start)
+        window = rs.read(512 + 256)
+    rel = offset - start
+    lo = window.rfind(b"\n", 0, rel) + 1
+    hi = window.find(b"\n", rel)
+    if hi < 0:
+        hi = len(window)
+    return window[lo:hi]
 
 
 def cmd_search(args) -> int:
     from .search import BlockSearcher
+    from .search.sidecar import SidecarSearcher
 
     pattern = args.pattern.encode() if isinstance(args.pattern, str) else args.pattern
     rc = 1
-    for path in args.files:
-        with open(path, "rb") as f:
-            s = BlockSearcher(f, pattern, bail_no_table=args.bail)
-            n = [0]
+    for path in _expand(args.files):
+        n = [0]
 
-            def cb(r):
-                n[0] += 1
-                if not args.quiet:
+        def cb(r, path=path):
+            n[0] += 1
+            if args.count_only:
+                pass
+            elif args.lines:
+                try:
+                    line = _match_line(path, r.offset)
+                    print(f"{path}:{r.offset}: {line.decode(errors='replace')}")
+                except Exception:
                     print(f"{path}:{r.offset}")
-                if args.count and n[0] >= args.count:
-                    return False
-                return True
+            elif not args.quiet:
+                print(f"{path}:{r.offset}")
+            if args.max and n[0] >= args.max:
+                return False
+            return True
 
-            s.search(cb)
-            if n[0]:
-                rc = 0
-            if args.stats:
-                s.stats.fprint(sys.stderr)
+        if args.sidecar:
+            with open(args.sidecar, "rb") as sf, open(path, "rb") as mf:
+                s = SidecarSearcher(sf, mf, pattern)
+                s.search(cb)
+        else:
+            with open(path, "rb") as f:
+                s = BlockSearcher(f, pattern, bail_no_table=args.bail)
+                s.search(cb)
+        if args.count_only:
+            print(f"{path}: {n[0]}")
+        if n[0]:
+            rc = 0
+        if args.stats:
+            s.stats.fprint(sys.stderr)
     return rc
+
+
+def cmd_sidecar(args) -> int:
+    from .search import SearchTableConfig
+    from .search.sidecar import build_sidecar, extract_sidecar
+
+    path = _expand(args.files)[0]
+    with open(path, "rb") as f:
+        if args.action == "build":
+            cfg = SearchTableConfig(match_len=args.search_len)
+            side = build_sidecar(f, cfg)
+        else:
+            side = extract_sidecar(f)
+    opath = args.output or path + ".mzs"
+    with open(opath, "wb") as f:
+        f.write(side)
+    print(f"{opath}: {len(side)} bytes", file=sys.stderr)
+    return 0
 
 
 def cmd_bench(args) -> int:
@@ -244,6 +443,8 @@ def main(argv=None) -> int:
     pc.add_argument("-index", action="store_true", default=True)
     pc.add_argument("-no-index", dest="index", action="store_false")
     pc.add_argument("-pad", type=int, default=0)
+    pc.add_argument("-recomp", action="store_true",
+                    help="recompress MinLZ/Snappy input")
     pc.add_argument("-device", action="store_true", help="TPU encode path")
     pc.add_argument("-o", dest="output")
     pc.add_argument("files", nargs="+")
@@ -254,6 +455,10 @@ def main(argv=None) -> int:
         pd.add_argument("-offset", type=int, default=0)
         pd.add_argument("-tail", type=int, default=None)
         pd.add_argument("-limit", type=int, default=0)
+        pd.add_argument("-follow", action="store_true",
+                        help="keep reading as the file grows (tail -f)")
+        pd.add_argument("-block-debug", dest="block_debug",
+                        action="store_true", help="dump per-op anatomy")
         pd.add_argument("-device", action="store_true")
         pd.add_argument("-o", dest="output")
         pd.add_argument("files", nargs="+")
@@ -265,19 +470,36 @@ def main(argv=None) -> int:
     pt.set_defaults(fn=cmd_tail)
 
     ps = sub.add_parser("stats", help="stream anatomy")
+    ps.add_argument("-blocks", action="store_true",
+                    help="per-op histograms (decodes block headers)")
+    ps.add_argument("-csv", action="store_true")
     ps.add_argument("files", nargs="+")
     ps.set_defaults(fn=cmd_stats)
 
-    pq = sub.add_parser("s", help="search compressed stream")
+    pq = sub.add_parser("s", help="search compressed stream",
+                        aliases=["search", "find"])
     pq.add_argument("-q", dest="quiet", action="store_true")
-    pq.add_argument("-c", dest="count", type=int, default=0,
+    pq.add_argument("-l", dest="lines", action="store_true",
+                    help="print the matching line")
+    pq.add_argument("-c", dest="count_only", action="store_true",
+                    help="print only the match count per file")
+    pq.add_argument("-n", dest="max", type=int, default=0,
                     help="stop after N matches")
     pq.add_argument("-bail", action="store_true",
                     help="error if stream has no search tables")
     pq.add_argument("-stats", action="store_true")
+    pq.add_argument("--sidecar", default=None,
+                    help="search via a sidecar index file")
     pq.add_argument("pattern")
     pq.add_argument("files", nargs="+")
     pq.set_defaults(fn=cmd_search)
+
+    pside = sub.add_parser("sidecar", help="build/extract search sidecars")
+    pside.add_argument("action", choices=["build", "extract"])
+    pside.add_argument("-search.len", dest="search_len", type=int, default=6)
+    pside.add_argument("-o", dest="output")
+    pside.add_argument("files", nargs=1)
+    pside.set_defaults(fn=cmd_sidecar)
 
     pb = sub.add_parser("bench", help="compress/decompress benchmark")
     pb.add_argument("-n", type=int, default=3)

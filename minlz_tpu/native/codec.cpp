@@ -782,9 +782,10 @@ MINLZ_EXPORT long minlz_parse_serialize(
       return m >= 4 ? m : 0;
     };
 
+    size_t look_p = (size_t)-1, look_l = 0;  // memoized lookahead vlen
     while (p + 4 <= s1) {
       uint32_t d = (uint32_t)dist[p];
-      size_t l = vlen(p, d);
+      size_t l = (p == look_p) ? look_l : vlen(p, d);
       bool is_rep = false;
       // Repeat probe: a repeat token is 1-3 bytes regardless of offset.
       if (rep && rep <= p) {
@@ -799,13 +800,15 @@ MINLZ_EXPORT long minlz_parse_serialize(
         p++;
         continue;
       }
-      // Lazy lookahead: a strictly better match one byte ahead wins
-      // (never defers a repeat — repeats are nearly free to emit).
-      if (!is_rep && p + 5 <= s1) {
+      // Lazy lookahead: a strictly better match one byte ahead wins (never
+      // defers a repeat or an already-long match — not worth the compares).
+      if (!is_rep && l < 16 && p + 5 <= s1) {
         uint32_t d1 = (uint32_t)dist[p + 1];
         if (d1 && d1 != d) {
           size_t l1 = vlen(p + 1, d1);
           if (l1 > l + 1) {
+            look_p = p + 1;
+            look_l = l1;
             p++;
             continue;
           }

@@ -170,6 +170,86 @@ def decode_body(src, pos, want_size, seed=b"") -> bytes:
     return bytes(dst[seed_len:]) if seed_len else bytes(dst)
 
 
+def iter_ops(src):
+    """Parse a full block and yield one record per token WITHOUT executing
+    it: (comp_pos, out_pos, kind, length, offset, fused_lits).  kind is one
+    of 'lit', 'repeat', 'copy1', 'copy2', 'copy2f', 'copy3'.  Debug/stats
+    tool (parity: mz d -block-debug, cmd/mz/decompress.go op dump)."""
+    lit_only, want, pos = parse_header(src)
+    if lit_only:
+        yield (pos, 0, "lit", len(src) - pos, 0, 0)
+        return
+    n = len(src)
+    out = 0
+    while pos < n:
+        start = pos
+        tag_byte = src[pos]
+        pos += 1
+        tag = tag_byte & 3
+        value = tag_byte >> 2
+        if tag == 0:
+            is_repeat = value & 1
+            code = value >> 1
+            if code < 29:
+                length = code + 1
+            else:
+                nb = code - 28
+                length = int.from_bytes(src[pos : pos + nb], "little") + 30
+                pos += nb
+            if is_repeat:
+                yield (start, out, "repeat", length, 0, 0)
+            else:
+                yield (start, out, "lit", length, 0, 0)
+                pos += length
+            out += length
+            continue
+        lits = 0
+        if tag == 1:
+            length = value & 15
+            offset = (src[pos] << 2 | (value >> 4)) + 1
+            pos += 1
+            if length == 15:
+                length = src[pos] + 18
+                pos += 1
+            else:
+                length += 4
+            kind = "copy1"
+        elif tag == 2:
+            offset = int.from_bytes(src[pos : pos + 2], "little") + 64
+            pos += 2
+            if value <= 60:
+                length = value + 4
+            else:
+                nb = value - 60
+                length = int.from_bytes(src[pos : pos + nb], "little") + 64
+                pos += nb
+            kind = "copy2"
+        else:
+            is_copy3 = value & 1
+            lits = (value >> 1) & 3
+            if not is_copy3:
+                offset = int.from_bytes(src[pos : pos + 2], "little") + 64
+                pos += 2
+                length = (value >> 3) + 4
+                lits += 1
+                kind = "copy2f"
+            else:
+                full = value | int.from_bytes(src[pos : pos + 3], "little") << 6
+                pos += 3
+                offset = (full >> 9) + 65536
+                code = (full >> 3) & 63
+                if code < 61:
+                    length = code + 4
+                else:
+                    nb = code - 60
+                    length = int.from_bytes(src[pos : pos + nb], "little") + 64
+                    pos += nb
+                kind = "copy3"
+            pos += lits
+        yield (start, out, kind, length, offset, lits)
+        out += length + lits
+
+
 def _copy(dst: bytearray, offset: int, length: int, want_size: int) -> None:
     d = len(dst)
     if offset > d:

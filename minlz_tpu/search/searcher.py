@@ -22,6 +22,7 @@ from ..minlz import (
     CorruptError,
     read_uvarint,
 )
+from ..minlz import CHUNK_TYPE_SEARCH_TABLE_COMPRESSED
 from .table import (
     TYPE_BYTE_PREFIX,
     TYPE_LONG_PREFIX,
@@ -44,7 +45,9 @@ class SearchStats:
     blocks_skipped: int = 0
     blocks_decoded: int = 0
     blocks_no_table: int = 0
+    blocks_deferred: int = 0
     tables_seen: int = 0
+    tables_compressed: int = 0
     table_bytes: int = 0
     matches: int = 0
 
@@ -52,8 +55,11 @@ class SearchStats:
         f.write(
             f"blocks: {self.blocks_total} skipped: {self.blocks_skipped}"
             f" decoded: {self.blocks_decoded}"
+            f" deferred: {self.blocks_deferred}"
             f" (no table: {self.blocks_no_table})\n"
-            f"tables: {self.tables_seen} ({self.table_bytes} bytes)"
+            f"tables: {self.tables_seen}"
+            f" ({self.tables_compressed} compressed,"
+            f" {self.table_bytes} bytes)"
             f" matches: {self.matches}\n"
         )
 
@@ -73,6 +79,7 @@ class BlockSearcher:
         self._bail = bail_no_table
         self.stats = SearchStats()
         self._pending_table = None
+        self._deferred = None  # held block awaiting the next table
         self._uoff = 0  # uncompressed offset of next block
         self._tail = b""  # rolling decoded tail for boundary straddles
         self._force_next = False  # previous decoded tail may start a match
@@ -117,30 +124,68 @@ class BlockSearcher:
             start = j + 1
         return wins, bool(wins)
 
-    def _may_contain(self, table_info) -> bool:
+    def _window_presence(self, table_info):
+        """{pattern window index: present?} for every window this table can
+        check.  Uncheckable windows are omitted (assumed present)."""
         cfg, bits, reductions, table = table_info
         wins, usable = self._pattern_windows(cfg)
         if not usable:
-            return True  # cannot filter; must decode
+            return None
         mask = (1 << (bits - reductions)) - 1
         p = self._pattern
         m = cfg.match_len
-        for i, is_first in wins:
+        out = {}
+        for i, _ in wins:
             val = int.from_bytes(p[i : i + m], "little")
             h = hash_value(val, bits, m) & mask
-            present = table[h >> 3] & (1 << (h & 7))
-            if not present:
-                if is_first:
-                    return False
-                # Later window absent: the pattern cannot occur entirely in
-                # this block, but could straddle into the next (B.2.1): only
-                # skippable when the FIRST window is also absent.
-                val0 = int.from_bytes(p[0:m], "little")
-                h0 = hash_value(val0, bits, m) & mask
-                if not table[h0 >> 3] & (1 << (h0 & 7)):
-                    return False
+            out[i] = bool(table[h >> 3] & (1 << (h & 7)))
+        return out
+
+    def _decide(self, table_info) -> str:
+        """Per-block decision: 'decode', 'skip', or 'boundary' (a match can
+        only straddle into the next block — candidate for deferred decode,
+        SPEC_SEARCH.md B.3)."""
+        presence = self._window_presence(table_info)
+        if presence is None:
+            return "decode"
+        absent = [i for i, ok in presence.items() if not ok]
+        if not absent:
+            return "decode"
+        # Any absent window rules out a fully-contained occurrence.  A
+        # straddle starting j bytes before block end needs windows < j
+        # present; window 0 is always among them, so its absence (when
+        # checkable) rules the block out entirely.
+        if presence.get(0) is False:
+            return "skip"
+        return "boundary"
+
+    def _straddle_possible(self, prev_info, next_info) -> bool:
+        """Can the pattern straddle prev block -> next block, given both
+        tables?  Split j: first j pattern bytes end the previous block
+        (windows starting at i < j are indexed by the previous table —
+        overlap indexing — and i >= j by the next)."""
+        if prev_info is None or next_info is None:
+            return True
+        prev_p = self._window_presence(prev_info)
+        next_p = self._window_presence(next_info)
+        if prev_p is None and next_p is None:
+            return True
+        n = len(self._pattern)
+        for j in range(1, n):
+            ok = True
+            if prev_p is not None:
+                for i, pres in prev_p.items():
+                    if i < j and not pres:
+                        ok = False
+                        break
+            if ok and next_p is not None:
+                for i, pres in next_p.items():
+                    if i >= j and not pres:
+                        ok = False
+                        break
+            if ok:
                 return True
-        return True
+        return False
 
     # --- Stream walk -------------------------------------------------------
 
@@ -160,14 +205,28 @@ class BlockSearcher:
                 raise CorruptError("truncated stream during search")
 
             if ctype == CHUNK_TYPE_STREAM_ID:
+                # A match never straddles concatenated streams: a deferred
+                # block can only have contained boundary-straddle starts, so
+                # it is safe to drop unread.
+                if self._deferred is not None:
+                    self._deferred = None
+                    self.stats.blocks_skipped += 1
                 self._pending_table = None
                 self._tail = b""
+                self._force_next = False
                 self._uoff = 0
             elif ctype == CHUNK_TYPE_SEARCH_INFO:
                 self.stats.tables_seen += 0  # informational only
             elif ctype == CHUNK_TYPE_SEARCH_TABLE:
                 self._pending_table = parse_table_chunk(payload)
                 self.stats.tables_seen += 1
+                self.stats.table_bytes += len(payload)
+            elif ctype == CHUNK_TYPE_SEARCH_TABLE_COMPRESSED:
+                from .compressed import parse_compressed_table_chunk
+
+                self._pending_table = parse_compressed_table_chunk(payload)
+                self.stats.tables_seen += 1
+                self.stats.tables_compressed += 1
                 self.stats.table_bytes += len(payload)
             elif ctype in (
                 CHUNK_TYPE_MINLZ_COMPRESSED,
@@ -178,8 +237,14 @@ class BlockSearcher:
                 if stop:
                     return results
             elif ctype == CHUNK_TYPE_EOF:
-                pass
+                if self._deferred is not None:
+                    # Nothing follows: a straddle cannot complete.
+                    self._deferred = None
+                    self.stats.blocks_skipped += 1
             # Other chunks (index, hints, padding, user) are skipped.
+        if self._deferred is not None:
+            self._deferred = None
+            self.stats.blocks_skipped += 1
         return results
 
     def _handle_block(self, ctype, payload, results, callback) -> bool:
@@ -195,43 +260,74 @@ class BlockSearcher:
             if dlen == 0:
                 dlen = len(body) - 1  # literal-only approximation
 
+        # Resolve a deferred block now that the follow-up table is known
+        # (deferred decode, reference search_reader.go:1653-1797).
+        if self._deferred is not None:
+            d = self._deferred
+            self._deferred = None
+            if self._straddle_possible(d["table"], table_info):
+                if self._decode_and_scan(
+                    d["ctype"], d["payload"], d["uoff"], results, callback
+                ):
+                    return True
+            else:
+                self.stats.blocks_skipped += 1
+                self._tail = b""
+                self._force_next = False
+
         if table_info is None:
             self.stats.blocks_no_table += 1
             if self._bail:
                 raise CorruptError("block without search table (bail)")
-            maybe = True
+            decision = "decode"
         else:
-            maybe = self._may_contain(table_info)
+            decision = self._decide(table_info)
         if self._force_next:
             # The previous decoded block ends with a potential pattern start;
             # this block must be decoded to resolve the straddle
             # (reference: ErrSearchForward protocol, search_reader.go:1034).
-            maybe = True
+            decision = "decode"
 
-        if not maybe:
+        if decision == "skip":
             self.stats.blocks_skipped += 1
-            # Check the straddle region: tail + first bytes cannot be checked
-            # without decoding IF the tail suffix could start a match and the
-            # first window was present.  _may_contain already enforces the
-            # first-window rule, so a skip here is safe; just advance.
             self._tail = b""
             self._uoff += dlen
             return False
+        if decision == "boundary":
+            # A match can only straddle into the NEXT block; hold the
+            # compressed chunk until that block's table decides.
+            self.stats.blocks_deferred += 1
+            self._deferred = {
+                "ctype": ctype,
+                "payload": payload,
+                "table": table_info,
+                "uoff": self._uoff,
+            }
+            self._uoff += dlen
+            return False
+        stop = self._decode_and_scan(
+            ctype, payload, self._uoff, results, callback
+        )
+        self._uoff += dlen
+        return stop
 
-        # Decode and scan.
+    def _decode_and_scan(self, ctype, payload, uoff, results,
+                         callback) -> bool:
+        """Decode a data chunk whose uncompressed start is ``uoff`` and scan
+        it (with the rolling tail) for pattern occurrences."""
         self.stats.blocks_decoded += 1
         if ctype == CHUNK_TYPE_UNCOMPRESSED_DATA:
             data = payload[4:]
         else:
             data = blockapi.decode(b"\x00" + payload[4:])
         hay = self._tail + data
-        base = self._uoff - len(self._tail)
+        base = uoff - len(self._tail)
         start = 0
         while True:
             j = hay.find(self._pattern, start)
             if j < 0:
                 break
-            r = SearchResult(offset=base + j, block_start=self._uoff)
+            r = SearchResult(offset=base + j, block_start=uoff)
             results.append(r)
             self.stats.matches += 1
             if callback is not None and callback(r) is False:
@@ -245,5 +341,4 @@ class BlockSearcher:
             self._tail.endswith(self._pattern[:k])
             for k in range(1, min(keep, len(self._pattern) - 1) + 1)
         )
-        self._uoff += len(data)
         return False

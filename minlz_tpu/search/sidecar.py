@@ -170,6 +170,13 @@ class SidecarSearcher:
                 pending_table = parse_table_chunk(payload)
                 self.stats.tables_seen += 1
                 self.stats.table_bytes += len(payload)
+            elif ctype == 0x46:
+                from .compressed import parse_compressed_table_chunk
+
+                pending_table = parse_compressed_table_chunk(payload)
+                self.stats.tables_seen += 1
+                self.stats.tables_compressed += 1
+                self.stats.table_bytes += len(payload)
             elif ctype == CHUNK_TYPE_REMOTE_BLOCK_REF:
                 boff, p2 = read_uvarint(payload, 0)
                 max_minus_actual, p2 = read_uvarint(payload, p2)
@@ -181,7 +188,9 @@ class SidecarSearcher:
                     maybe = True
                     self.stats.blocks_no_table += 1
                 else:
-                    maybe = searcher._may_contain(table_info)
+                    # The sidecar walker does not defer: boundary-only
+                    # blocks are fetched (correct, just less lazy).
+                    maybe = searcher._decide(table_info) != "skip"
                 if force_next:
                     maybe = True
                 if not maybe:

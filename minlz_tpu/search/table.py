@@ -96,9 +96,14 @@ class SearchTableConfig:
     extra_matches: int = 0  # type 4 only; match_len+extras <= 16
     max_population: float = 0.70  # skip emitting tables denser than this
     max_reduced_population: float = 0.25
+    compression: bool = True  # emit 0x46 chunks when smaller than 0x45
 
     def with_match_len(self, n: int) -> "SearchTableConfig":
         self.match_len = n
+        return self
+
+    def with_compression(self, on: bool) -> "SearchTableConfig":
+        self.compression = on
         return self
 
     def with_byte_prefix(self, *values) -> "SearchTableConfig":
@@ -169,6 +174,14 @@ class SearchTableConfig:
 
     def marshal_table(self, block_size: int, table: bytes,
                       reductions: int) -> bytes:
+        if self.compression:
+            from .compressed import marshal_compressed_table
+
+            chunk = marshal_compressed_table(
+                self, block_size, table, reductions
+            )
+            if chunk is not None:
+                return chunk
         payload = bytearray([self.table_type, self.match_len,
                              self.auto_bits(block_size)])
         payload += self._prefix_field()

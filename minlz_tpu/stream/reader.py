@@ -43,6 +43,8 @@ class Reader:
       user_chunk_cb             — {chunk_id: callable(bytes)} for user chunks.
       fallback                  — accept Snappy/S2 magics (decode via legacy
                                   path); off by default.
+      ignore_missing_eof        — do not treat a stream that ends without an
+                                  EOF chunk as truncated (tail -f use).
     """
 
     def __init__(
@@ -54,6 +56,7 @@ class Reader:
         ignore_crc: bool = False,
         user_chunk_cb=None,
         fallback: bool = False,
+        ignore_missing_eof: bool = False,
         decoder_backend=None,
         device: bool = False,
     ):
@@ -76,8 +79,10 @@ class Reader:
         self._decoded_pos = 0
         self._block_start = 0  # uncompressed offset of current window start
         self._read_header = ignore_stream_identifier
+        self._ignore_missing_eof = ignore_missing_eof
         self._uncompressed_seen = 0
-        self._want_eof = None
+        self._seen_data = False  # data chunk since last stream id
+        self._seen_eof_chunk = False
         self._eof = False
 
     # --- Public API ---------------------------------------------------------
@@ -177,6 +182,16 @@ class Reader:
         while True:
             hdr = self._read_exact(4, allow_eof=True)
             if hdr is None:
+                # Truncation detection: every stream must end with an EOF
+                # chunk (SPEC.md §4.6; reference wantEOF, reader.go).
+                # Snappy-framed streams have no EOF chunk in their framing.
+                if (
+                    self._seen_data
+                    and not self._seen_eof_chunk
+                    and not self._ignore_missing_eof
+                    and not getattr(self, "_snappy_frame", False)
+                ):
+                    raise CorruptError("stream truncated: missing EOF chunk")
                 self._eof = True
                 return False
             ctype = hdr[0]
@@ -189,6 +204,7 @@ class Reader:
                 CHUNK_TYPE_UNCOMPRESSED_DATA,
             ) or (ctype == CHUNK_TYPE_LEGACY_COMPRESSED and self._fallback):
                 payload = self._read_exact(clen)
+                self._seen_data = True
                 self._decode_data_chunk(ctype, payload)
                 if self._decoded:
                     return True
@@ -210,7 +226,7 @@ class Reader:
                         f"EOF size mismatch: stream declares {want}, "
                         f"decoded {self._uncompressed_seen}"
                     )
-            self._want_eof = None
+            self._seen_eof_chunk = True
         elif ctype == CHUNK_TYPE_LEGACY_COMPRESSED:
             raise UnsupportedError(
                 "legacy Snappy/S2 compressed chunk (enable fallback decoding)"
@@ -276,6 +292,8 @@ class Reader:
         # Stream concatenation: size counter resets at each identifier.
         self._uncompressed_seen = 0
         self._block_start = 0
+        self._seen_data = False
+        self._seen_eof_chunk = False
 
     def _decode_data_chunk(self, ctype: int, payload: bytes) -> None:
         if len(payload) < 4:

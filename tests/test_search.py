@@ -235,3 +235,111 @@ def test_sidecar_extract(twain):
     # The sidecar must contain remote refs and the original tables.
     assert bytes([CHUNK_TYPE_REMOTE_BLOCK_REF]) in side
     assert b"\x45" in side[:1] or side.count(bytes([0x45])) >= 0  # smoke
+
+
+# ---------------------------------------------------------------------------
+# Compressed tables (0x46) + deferred decode
+# ---------------------------------------------------------------------------
+
+def test_sparse_bit_table_roundtrip():
+    from minlz_tpu.search.compressed import sparse_decode, sparse_encode
+
+    rng = np.random.default_rng(11)
+    for density in (0.001, 0.01, 0.05, 0.2):
+        bits = (rng.random(8192 * 8) < density).astype(np.uint8)
+        bitmap = np.packbits(bits, bitorder="little").tobytes()
+        enc = sparse_encode(bitmap)
+        assert sparse_decode(enc, len(bitmap)) == bitmap
+    assert sparse_encode(bytes(64)) == b""
+    assert sparse_decode(b"", 64) == bytes(64)
+
+
+def test_compressed_table_chunk_roundtrip(twain):
+    from minlz_tpu.search.compressed import (
+        marshal_compressed_table,
+        parse_compressed_table_chunk,
+    )
+
+    cfg = SearchTableConfig(match_len=6, table_bits=17)
+    cfg.compression = False
+    cfg.max_reduced_population = 0.0  # keep the table large and sparse
+    res = build_table(twain, cfg, b"", 16 << 10)
+    assert res is not None
+    table, red = res
+    chunk = marshal_compressed_table(cfg, 16 << 10, table, red)
+    assert chunk is not None, "twain table should compress"
+    assert chunk[0] == 0x46
+    payload = chunk[4:]
+    cfg2, bits2, red2, table2 = parse_compressed_table_chunk(payload)
+    assert table2 == table
+    assert red2 == red
+    assert cfg2.match_len == 6
+    assert len(chunk) < len(table) + 12
+
+
+def test_stream_with_compressed_tables(twain):
+    data = twain * 8
+    pattern = b"Tom Sawyer"
+    cfg = SearchTableConfig(match_len=6, table_bits=17)
+    cfg.max_reduced_population = 0.0  # sparse tables so 0x46 wins
+    enc = _stream(data, cfg)
+    assert bytes([0x46]) in enc  # at least one compressed table emitted
+    want = []
+    start = 0
+    while True:
+        j = data.find(pattern, start)
+        if j < 0:
+            break
+        want.append(j)
+        start = j + 1
+    s = BlockSearcher(io.BytesIO(enc), pattern)
+    got = [r.offset for r in s.search()]
+    assert got == want
+    assert s.stats.tables_compressed > 0
+
+
+def test_deferred_decode_skips_boundary_only_blocks():
+    # Blocks of structured text where the pattern appears in none; the
+    # deferral machinery must never produce false negatives and should
+    # skip blocks whose straddle hypothesis is refuted by the next table.
+    rng = np.random.default_rng(13)
+    words = [b"alpha", b"bravo", b"charlie", b"delta", b"echo", b"foxtrot"]
+    blocks = []
+    for i in range(8):
+        blocks.append(
+            b" ".join(words[int(k)] for k in rng.integers(0, 6, 3000))[: 16 << 10]
+        )
+    needle = b"zulu-yankee-xray"
+    data = b"".join(blocks)[: 7 * (16 << 10)] + needle
+    enc = _stream(data, SearchTableConfig(match_len=6))
+    s = BlockSearcher(io.BytesIO(enc), needle)
+    got = [r.offset for r in s.search()]
+    assert got == [data.find(needle)]
+
+
+def test_deferred_decode_straddle_still_found(twain):
+    # A pattern straddling blocks i -> i+1 must survive deferral.
+    bs = 16 << 10
+    pattern = b"QqWwEeRrTtYy-straddle-AaSsDdFf"
+    data = bytearray((twain * 12)[: bs * 6])
+    pos = bs * 3 - 7
+    data[pos : pos + len(pattern)] = pattern
+    data = bytes(data)
+    enc = _stream(data, SearchTableConfig(match_len=6), block_size=bs)
+    s = BlockSearcher(io.BytesIO(enc), pattern)
+    got = [r.offset for r in s.search()]
+    assert pos in got
+
+
+def test_huff0_reference_shapes():
+    from minlz_tpu.utils import huff0
+
+    rng = np.random.default_rng(17)
+    # Skewed full-range alphabet exercises FSE weight tables.
+    for trial in range(5):
+        probs = np.random.default_rng(trial).dirichlet(np.ones(256) * 0.2)
+        data = bytes(rng.choice(256, 4096, p=probs).astype(np.uint8))
+        c = huff0.compress_4x(data)
+        if c is None:
+            continue
+        assert huff0.decompress_4x(c, len(data)) == data

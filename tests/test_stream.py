@@ -215,3 +215,36 @@ def test_index_stream_load(twain):
     idx = Index.load_stream(buf)
     assert idx.total_uncompressed == len(data)
     assert idx.info[0] == (0, 0) or idx.info[0][1] == 0
+
+
+def test_truncated_stream_missing_eof_detected(twain):
+    buf = io.BytesIO()
+    with Writer(buf, block_size=8 << 10, add_index=False) as w:
+        w.write(twain)
+    raw = buf.getvalue()
+    # Chop the stream at the EOF chunk boundary (simulated truncation).
+    pos = 0
+    eof_at = None
+    while pos + 4 <= len(raw):
+        ctype = raw[pos]
+        clen = int.from_bytes(raw[pos + 1 : pos + 4], "little")
+        if ctype == 0x20:
+            eof_at = pos
+            break
+        pos += 4 + clen
+    assert eof_at is not None
+    trunc = raw[:eof_at]
+    with pytest.raises(minlz.CorruptError):
+        Reader(io.BytesIO(trunc)).readall()
+    # Escape hatch for growing files (tail -f).
+    out = Reader(io.BytesIO(trunc), ignore_missing_eof=True).readall()
+    assert twain.startswith(out) or out == twain
+
+
+def test_reader_eof_enforcement_concat_streams(twain):
+    buf = io.BytesIO()
+    with Writer(buf, block_size=8 << 10, add_index=False) as w:
+        w.write(twain)
+    one = buf.getvalue()
+    # Two complete concatenated streams decode fine.
+    assert Reader(io.BytesIO(one + one)).readall() == twain + twain
