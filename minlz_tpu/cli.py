@@ -401,6 +401,74 @@ def cmd_sidecar(args) -> int:
     return 0
 
 
+_VIS_HTML = """<!doctype html><html><head><meta charset="utf-8">
+<title>minlz block visualizer</title><style>
+body{font:13px monospace;background:#111;color:#ddd;margin:20px}
+.bar{display:flex;flex-wrap:wrap;max-width:1200px}
+.op{height:14px;margin:1px 0;opacity:.85}
+.op:hover{opacity:1;outline:1px solid #fff}
+.lit{background:#4a90d9}.copy1{background:#50b86c}.copy2{background:#e0a030}
+.copy2f{background:#c86ad9}.copy3{background:#d95050}.repeat{background:#888}
+#info{position:fixed;bottom:10px;left:20px;background:#000a;padding:6px}
+.legend span{padding:2px 8px;margin-right:6px}
+</style></head><body>
+<h3>minlz block anatomy — FILE (N bytes decoded)</h3>
+<div class="legend"><span class="lit">lit</span><span class="copy1">copy1</span>
+<span class="copy2">copy2</span><span class="copy2f">fused</span>
+<span class="copy3">copy3</span><span class="repeat">repeat</span></div>
+<div class="bar" id="bar"></div><div id="info"></div>
+<script>const ops = OPS;
+const bar = document.getElementById('bar'), info = document.getElementById('info');
+const total = ops.reduce((a,o)=>a+o[3]+(o[5]||0),0);
+for (const o of ops){
+  const d = document.createElement('div');
+  d.className = 'op ' + o[2];
+  d.style.width = Math.max(1, 1200*(o[3]+(o[5]||0))/total) + 'px';
+  d.onmouseenter = () => info.textContent =
+    `${o[2]} comp@${o[0]} out@${o[1]} len=${o[3]}` +
+    (o[4]?` off=${o[4]}`:'') + (o[5]?` +${o[5]} fused lits`:'');
+  bar.appendChild(d);
+}
+</script></body></html>
+"""
+
+
+def cmd_vis(args) -> int:
+    """Render a block's op layout as standalone HTML (parity: the
+    reference's block-vis/ tool)."""
+    from .oracle.decode import iter_ops
+
+    path = _expand(args.files)[0]
+    raw = _read_input(path)
+    if raw[:1] != b"\x00" or raw.startswith(minlz.MAGIC_CHUNK):
+        # Take the first data chunk of a stream.
+        pos = 0
+        blk = None
+        while pos + 4 <= len(raw):
+            ctype = raw[pos]
+            clen = int.from_bytes(raw[pos + 1 : pos + 4], "little")
+            if ctype in (0x02, 0x03):
+                blk = b"\x00" + raw[pos + 8 : pos + 4 + clen]
+                break
+            pos += 4 + clen
+        if blk is None:
+            print("no compressed block found", file=sys.stderr)
+            return 1
+        raw = blk
+    ops = [list(rec) for rec in iter_ops(raw)]
+    n = sum(o[3] + o[5] for o in ops)
+    html = (
+        _VIS_HTML.replace("OPS", json.dumps(ops))
+        .replace("FILE", os.path.basename(path))
+        .replace("N", str(n))
+    )
+    opath = args.output or path + ".html"
+    with open(opath, "w") as f:
+        f.write(html)
+    print(f"{opath}: {len(ops)} ops", file=sys.stderr)
+    return 0
+
+
 def cmd_bench(args) -> int:
     path = args.files[0]
     with open(path, "rb") as f:
@@ -500,6 +568,11 @@ def main(argv=None) -> int:
     pside.add_argument("-o", dest="output")
     pside.add_argument("files", nargs=1)
     pside.set_defaults(fn=cmd_sidecar)
+
+    pv = sub.add_parser("vis", help="render block anatomy to HTML")
+    pv.add_argument("-o", dest="output")
+    pv.add_argument("files", nargs=1)
+    pv.set_defaults(fn=cmd_vis)
 
     pb = sub.add_parser("bench", help="compress/decompress benchmark")
     pb.add_argument("-n", type=int, default=3)

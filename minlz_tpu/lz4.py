@@ -9,7 +9,7 @@ generate test inputs and verify conversions.
 
 from __future__ import annotations
 
-from .minlz import MAX_BLOCK_SIZE, CorruptError, put_uvarint
+from .minlz import MAX_BLOCK_SIZE, CorruptError, put_uvarint, read_uvarint
 from .oracle import encode as oenc
 
 MIN_MATCH = 4
@@ -213,3 +213,83 @@ def convert_stream(lz4_blocks, writer) -> None:
     for blk in lz4_blocks:
         data = lz4_decode_block(blk)
         writer.write(data)
+
+
+LZ4_FRAME_MAGIC = b"\x04\x22\x4d\x18"
+
+
+def parse_lz4_frame(raw: bytes):
+    """Parse an LZ4 frame (magic 0x184D2204) into raw block payloads.
+
+    Yields (block_bytes, is_uncompressed).  Checksums are skipped, not
+    validated (xxhash is out of scope for conversion; MinLZ adds its own
+    CRCs on re-framing)."""
+    if raw[:4] != LZ4_FRAME_MAGIC:
+        raise LZ4CorruptError("missing LZ4 frame magic")
+    pos = 4
+    flg = raw[pos]
+    bd_ = raw[pos + 1]  # noqa: F841 - block max size, informational
+    pos += 2
+    version = flg >> 6
+    if version != 1:
+        raise LZ4CorruptError(f"unsupported LZ4 frame version {version}")
+    block_indep = bool(flg & 0x20)
+    block_checksum = bool(flg & 0x10)
+    has_content_size = bool(flg & 0x08)
+    has_content_checksum = bool(flg & 0x04)
+    has_dict_id = bool(flg & 0x01)
+    if has_content_size:
+        pos += 8
+    if has_dict_id:
+        pos += 4
+    pos += 1  # header checksum byte (not validated)
+    if not block_indep:
+        # Dependent blocks: matches may reach into earlier blocks, which a
+        # block-for-block conversion cannot represent.  Callers must use the
+        # decode-and-recompress path.
+        raise LZ4CorruptError("LZ4 frame with dependent blocks")
+    while pos + 4 <= len(raw):
+        word = int.from_bytes(raw[pos : pos + 4], "little")
+        pos += 4
+        if word == 0:  # EndMark
+            if has_content_checksum:
+                pos += 4
+            return
+        size = word & 0x7FFFFFFF
+        is_raw = bool(word & 0x80000000)
+        blk = raw[pos : pos + size]
+        if len(blk) != size:
+            raise LZ4CorruptError("truncated LZ4 frame block")
+        pos += size
+        if block_checksum:
+            pos += 4
+        yield blk, is_raw
+    raise LZ4CorruptError("LZ4 frame missing EndMark")
+
+
+def convert_frame(raw: bytes, writer, transcode: bool = True) -> int:
+    """Convert a full LZ4 frame into a MinLZ stream via ``writer``.
+
+    With transcode=True each LZ4 block is converted token-for-token
+    (convert_block — no decompression); raw LZ4 blocks and frames that
+    cannot be transcoded fall back to decode-and-recompress.  Returns the
+    number of uncompressed bytes processed."""
+    total = 0
+    for blk, is_raw in parse_lz4_frame(raw):
+        if is_raw:
+            writer.write(blk)
+            total += len(blk)
+            continue
+        data_len = None
+        if transcode:
+            mz_block = convert_block(blk)
+            v, p = read_uvarint(mz_block, 1)
+            data_len = v if v else len(mz_block) - p
+        if data_len is not None and data_len <= writer._block_size:
+            writer.write_preencoded(mz_block, data_len)
+            total += data_len
+        else:
+            data = lz4_decode_block(blk)
+            writer.write(data)
+            total += len(data)
+    return total

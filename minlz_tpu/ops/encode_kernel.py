@@ -153,7 +153,9 @@ def find_matches_dyn(data_flat, n, seg: int = SEG):
         dist = jnp.where((dist > 0) & (dist <= _MAX_OFFSET), dist, 0)
         dist1 = jnp.roll(dist, -1, axis=1)
         ext = (dist > 0) & (dist1 == dist) & (pos + 5 <= n)
-        runs = _run_doubling(ext, seg)
+        # Lengths are merge hints only (the host re-extends byte-exactly),
+        # so capping the doubling depth at 256 costs nothing downstream.
+        runs = _run_doubling(ext, min(seg, 256))
         length = jnp.where(dist > 0, 4 + runs, 0)
         better = length > best_len
         best_dist = jnp.where(better, dist, best_dist)

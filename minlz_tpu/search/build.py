@@ -99,6 +99,60 @@ def build_table(
     return _finish(vals, cfg, bits)
 
 
+def build_tables_device(blocks_u8, match_len: int, bits: int):
+    """Batched no-prefix table build on device (jnp): hash every window of
+    every block and scatter presence bits — the reference's unrolled byte
+    loops + SIMD packBits (search_index.go:33-66, search_asm_*.s) as three
+    vector passes.  blocks_u8: [nblocks, block_size] uint8 (jnp or np).
+    Returns [nblocks, 2^bits / 8] uint8 bitmaps (device array).
+
+    Window values use this block only (no overlap tail); callers append
+    the next block's first match_len-1 bytes to the row to get
+    spec-complete boundary indexing, as the stream writer does.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .table import _PRIMES
+
+    blocks = jnp.asarray(blocks_u8, jnp.uint32)
+    nb, S = blocks.shape
+    m = match_len
+    vals = jnp.zeros((nb, S), jnp.uint32)
+    for k in range(m):
+        vals = vals | (jnp.roll(blocks, -k, axis=1) << jnp.uint32(8 * k))
+    npos = S - m + 1
+    if m <= 4:
+        if m == 1:
+            h = (vals & jnp.uint32(0xFF)).astype(jnp.int32)
+        elif m == 2 and bits >= 16:
+            h = (vals & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        else:
+            shifted = (vals << jnp.uint32(8 * (4 - m))).astype(jnp.uint32)
+            h = (
+                (shifted * jnp.uint32(_PRIMES[m] & 0xFFFFFFFF))
+                >> jnp.uint32(32 - bits)
+            ).astype(jnp.int32)
+    else:
+        # 64-bit hash emulated with 32-bit halves is lossy; follow the spec
+        # family via two 32-bit mixes folded — used only for presence, and
+        # readers recompute with the same function, so any fixed function
+        # would be self-consistent; the wire-format hash must match the
+        # spec, so >4-byte tables fall back to the NumPy builder.
+        raise ValueError("device builder supports match_len <= 4")
+    h = jnp.where(
+        jnp.arange(S)[None, :] < npos, h, jnp.int32(1 << bits)
+    )
+    # Presence via one-hot count per bucket: segment-sum over positions.
+    counts = jax.vmap(
+        lambda hh: jnp.zeros((1 << bits) + 1, jnp.int32).at[hh].add(1)
+    )(h)[:, : 1 << bits]
+    bits_set = (counts > 0).astype(jnp.uint8)
+    packed = bits_set.reshape(nb, (1 << bits) // 8, 8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, None, :]
+    return jnp.sum(packed * weights, axis=2, dtype=jnp.uint8)
+
+
 def _finish(vals: np.ndarray, cfg: SearchTableConfig, bits: int):
     h = hash_values_np(vals, bits, cfg.match_len)
     nbytes = 1 << (bits - 3)

@@ -175,6 +175,13 @@ class Reader:
     def __exit__(self, *exc):
         pass
 
+    def set_user_chunk_cb(self, chunk_id: int, cb) -> None:
+        """Register a user-chunk callback after construction (reference
+        UserChunkCB, reader.go:1524)."""
+        if not (0x40 <= chunk_id <= 0xFD):
+            raise ValueError("user chunk id must be 0x40..0xfd")
+        self._user_cb[chunk_id] = cb
+
     # --- Chunk machinery ----------------------------------------------------
 
     def _next_block(self) -> bool:

@@ -17,6 +17,7 @@ from .. import block as blockapi
 from ..minlz import (
     CHUNK_TYPE_EOF,
     CHUNK_TYPE_MINLZ_COMPRESSED,
+    CHUNK_TYPE_MINLZ_COMPRESSED_CRC,
     CHUNK_TYPE_PADDING,
     CHUNK_TYPE_UNCOMPRESSED_DATA,
     DEFAULT_BLOCK_SIZE,
@@ -155,6 +156,48 @@ class Writer:
             self._submit_block(bytes(data[pos : pos + self._block_size]))
             pos += self._block_size
         self._buf += data[pos:]
+
+    def write_preencoded(self, block: bytes, data_len: int) -> None:
+        """Emit an already-encoded MinLZ block (leading 0x00 marker) as one
+        stream chunk.  Uses the compressed-CRC chunk type 0x03 since the
+        uncompressed bytes are not available (LZ4 conversion path).
+
+        ``data_len`` is the block's decoded size; it must not exceed the
+        stream's block size."""
+        self._check_open()
+        if data_len > self._block_size:
+            raise ValueError(
+                f"pre-encoded block decodes to {data_len} bytes,"
+                f" above the stream block size {self._block_size}"
+            )
+        if block[:1] != b"\x00":
+            raise ValueError("not a MinLZ block (missing 0x00 marker)")
+        if self._buf:
+            chunk = bytes(self._buf)
+            self._buf.clear()
+            self._submit_block(chunk)
+        self._drain()
+        self._ensure_header()
+        body = block[1:]
+        payload = crc(body).to_bytes(4, "little") + body
+        if self._index is not None:
+            self._index.add(self._written_out, self._written_in)
+        self._written_in += data_len
+        chunk = (
+            bytes([CHUNK_TYPE_MINLZ_COMPRESSED_CRC])
+            + len(payload).to_bytes(3, "little")
+            + payload
+        )
+        self._write_out(chunk)
+
+    def async_flush(self) -> None:
+        """Hand all buffered data to the encoders without waiting for the
+        writes to land (reference AsyncFlush, writer.go:969)."""
+        self._check_open()
+        if self._buf:
+            chunk = bytes(self._buf)
+            self._buf.clear()
+            self._submit_block(chunk)
 
     def add_user_chunk(self, chunk_id: int, data=b"") -> None:
         """Emit a user chunk (0x80-0xfd).  Reference AddUserChunk."""

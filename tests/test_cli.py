@@ -1,0 +1,99 @@
+"""CLI end-to-end tests (parity: reference cmd/mz flows)."""
+
+import io
+import json
+import os
+import sys
+
+import pytest
+
+from minlz_tpu.cli import main
+
+
+@pytest.fixture
+def workdir(tmp_path, twain, monkeypatch):
+    p = tmp_path / "t.txt"
+    p.write_bytes(twain * 4)
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def run(argv, capsys):
+    rc = main(argv)
+    out = capsys.readouterr()
+    return rc, out.out, out.err
+
+
+def test_compress_decompress_roundtrip(workdir, capsys):
+    rc, _, _ = run(["c", "t.txt"], capsys)
+    assert rc == 0
+    assert (workdir / "t.txt.mz").exists()
+    rc, out, _ = run(["cat", "t.txt.mz"], capsys)
+    assert rc == 0
+    # cat writes binary to the real stdout buffer; just check d works:
+    rc, _, _ = run(["d", "-o", "out.bin", "t.txt.mz"], capsys)
+    assert rc == 0
+    assert (workdir / "out.bin").read_bytes() == (workdir / "t.txt").read_bytes()
+
+
+def test_block_mode_and_levels(workdir, capsys):
+    for lvl in ("-xfast", "-2", "-3"):
+        rc, _, _ = run(["c", lvl, "-block", "-o", "b.mzb", "t.txt"], capsys)
+        assert rc == 0
+        rc, _, _ = run(["d", "-o", "b.out", "b.mzb"], capsys)
+        assert rc == 0
+        assert (workdir / "b.out").read_bytes() == (
+            workdir / "t.txt"
+        ).read_bytes()
+
+
+def test_offset_tail_limit(workdir, capsys):
+    data = (workdir / "t.txt").read_bytes()
+    run(["c", "-bs", "16384", "t.txt"], capsys)
+    rc, _, _ = run(
+        ["d", "-offset", "20000", "-limit", "100", "-o", "part.bin",
+         "t.txt.mz"], capsys)
+    assert rc == 0
+    assert (workdir / "part.bin").read_bytes() == data[20000:20100]
+
+
+def test_stats_blocks(workdir, capsys):
+    run(["c", "t.txt"], capsys)
+    rc, out, _ = run(["stats", "-blocks", "t.txt.mz"], capsys)
+    assert rc == 0
+    st = json.loads(out)
+    assert st["blocks"] >= 1
+    assert st["uncompressed"] == os.path.getsize(workdir / "t.txt")
+    assert sum(st["op_bytes"].values()) == st["uncompressed"]
+
+
+def test_search_and_sidecar_cli(workdir, capsys):
+    run(["c", "-bs", "16384", "t.txt"], capsys)
+    rc, out, _ = run(["s", "Tom Sawyer", "t.txt.mz"], capsys)
+    assert rc == 0 and out.count("\n") > 1
+    rc, _, _ = run(["sidecar", "build", "t.txt.mz"], capsys)
+    assert rc == 0
+    rc, out, _ = run(
+        ["s", "--sidecar", "t.txt.mz.mzs", "-c", "Tom Sawyer", "t.txt.mz"],
+        capsys)
+    assert rc == 0
+    assert int(out.strip().rsplit(" ", 1)[-1]) > 1
+
+
+def test_vis_and_block_debug(workdir, capsys):
+    run(["c", "-block", "-o", "b.mzb", "t.txt"], capsys)
+    rc, _, _ = run(["vis", "b.mzb"], capsys)
+    assert rc == 0
+    html = (workdir / "b.mzb.html").read_text()
+    assert "minlz block" in html
+    rc, out, _ = run(["d", "-block-debug", "b.mzb"], capsys)
+    assert rc == 0
+    assert "lit" in out
+
+
+def test_glob_expansion(workdir, capsys):
+    (workdir / "sub").mkdir()
+    (workdir / "sub" / "a.txt").write_bytes(b"hello glob " * 100)
+    rc, _, _ = run(["c", "**/*.txt"], capsys)
+    assert rc == 0
+    assert (workdir / "sub" / "a.txt.mz").exists()

@@ -61,3 +61,41 @@ def test_corrupt_lz4_rejected():
     with pytest.raises(lz4.LZ4CorruptError):
         # offset beyond output
         lz4.convert_block(bytes([1 << 4]) + b"A" + b"\x10\x00" + b"\x00")
+
+
+def test_lz4_frame_conversion(twain):
+    """Build an LZ4 frame by hand, convert it to a MinLZ stream, decode."""
+    import io
+
+    from minlz_tpu.lz4 import LZ4_FRAME_MAGIC, convert_frame, lz4_encode_block
+    from minlz_tpu.stream import Reader, Writer
+
+    data = twain * 6
+    bs = 64 << 10
+    frame = bytearray(LZ4_FRAME_MAGIC)
+    frame.append(0x60)  # version 01, block independence, no checksums/size
+    frame.append(0x40)  # BD: 64KB max block
+    frame.append(0)     # header checksum (not validated by the converter)
+    for i in range(0, len(data), bs):
+        blk = lz4_encode_block(data[i : i + bs])
+        frame += len(blk).to_bytes(4, "little")
+        frame += blk
+    frame += (0).to_bytes(4, "little")  # EndMark
+
+    buf = io.BytesIO()
+    w = Writer(buf, block_size=bs, add_index=False)
+    n = convert_frame(bytes(frame), w)
+    w.close()
+    assert n == len(data)
+    assert Reader(io.BytesIO(buf.getvalue())).readall() == data
+
+
+def test_lz4_frame_dependent_blocks_rejected(twain):
+    from minlz_tpu.lz4 import LZ4_FRAME_MAGIC, LZ4CorruptError, parse_lz4_frame
+
+    frame = bytes(LZ4_FRAME_MAGIC) + bytes([0x40, 0x40, 0]) + b"\x00" * 4
+    try:
+        list(parse_lz4_frame(frame))
+        raise AssertionError("dependent frame accepted")
+    except LZ4CorruptError:
+        pass

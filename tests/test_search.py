@@ -343,3 +343,25 @@ def test_huff0_reference_shapes():
         if c is None:
             continue
         assert huff0.decompress_4x(c, len(data)) == data
+
+
+def test_device_table_builder_matches_host(twain):
+    """build_tables_device (jnp scatter + packbits) vs the NumPy builder."""
+    import numpy as np
+
+    from minlz_tpu.search.build import build_tables_device
+
+    bs = 8 << 10
+    data = (twain * 3)[: 4 * bs]
+    blocks = np.frombuffer(data, np.uint8).reshape(4, bs)
+    for m, bits in ((3, 12), (4, 13)):
+        dev = np.asarray(build_tables_device(blocks, m, bits))
+        for i in range(4):
+            cfg = SearchTableConfig(match_len=m, table_bits=bits)
+            cfg.max_population = 1.0  # no skip
+            cfg.max_reduced_population = 0.0  # no reduction
+            res = build_table(blocks[i].tobytes(), cfg, b"", bs)
+            assert res is not None
+            table, red = res
+            assert red == 0
+            assert dev[i].tobytes() == table, (m, bits, i)
