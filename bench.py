@@ -190,7 +190,7 @@ def main():
     # Prepare parse inputs once (device-resident), then time the pipeline.
     segs0 = split_body(blocks_enc[0], [h[0] for h in all_hints[0]])
     pc_data = max(len(sb) for sb in segs0)
-    n_rows = -(-pc_data // pdk.ROW_TILE) * pdk.ROW_TILE
+    n_rows = -(-(pc_data + 1) // pdk.ROW_TILE) * pdk.ROW_TILE
     pc = n_rows + pdk.MARGIN
     lens = np.zeros((pdk.SUB, 128), np.int32)
     comp = np.zeros((n_rows, pdk.B_LANES), np.uint8)
@@ -220,10 +220,8 @@ def main():
         ).sum(axis=1)
         comp_flat = jnp.pad(c.T.reshape(pdk.B_LANES, n_rows),
                             ((0, 0), (0, pc - n_rows)))
-        kind, dstA, lnA, srcA = pdk.parse_segments_pallas(
-            words_d, lens_d, n_rows
-        )
-        packed, n_real = pdk.compact_ops(kind, dstA, lnA, srcA, max_ops)
+        emits = pdk.parse_segments_pallas(words_d, lens_d, n_rows)
+        packed, n_real = pdk.compact_ops(*emits, max_ops)
         return pdk.execute_ops_pallas(
             packed, n_real, comp_flat.reshape(-1, 128), max_ops, pc,
             n_out_rows, seg_rows,

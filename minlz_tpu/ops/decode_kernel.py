@@ -35,8 +35,9 @@ def pack_segments(seg_bytes_list):
     B = len(seg_bytes_list)
     P = max((len(s) for s in seg_bytes_list), default=1)
     P = max(P, 1)
-    # Bucket P (and B) to limit jit recompiles across ragged batches.
-    P = 1 << (P - 1).bit_length()
+    # Bucket P to limit jit recompiles; strictly greater than every length
+    # so each lane has a flush row (row == len) for trailing literals.
+    P = 1 << P.bit_length()
     mat = np.zeros((P, B), dtype=np.int32)
     lens = np.zeros((B,), dtype=np.int32)
     for b, s in enumerate(seg_bytes_list):
@@ -61,22 +62,28 @@ def parse_segments_scan(mat, lens):
         st, row = carry
         byte = inp
         active = row < lens
-        st, emit = parse_step(st, byte, active, row)
+        flush = row == lens
+        st, emit = parse_step(st, byte, active, row, flush)
         return (st, row + 1), emit
 
     (_, _), emits = jax.lax.scan(step, (st0, jnp.int32(0)), mat)
-    return emits  # (kind, dst, len, src) each [P, B]
+    return emits  # (kind, dst, clen, csrc, lsrc, llen) each [P, B]
 
 
-def execute_ops_host(op_kind, op_dst, op_len, op_src, mat, out_lens):
+def execute_ops_host(op_kind, op_dst, op_clen, op_csrc, op_lsrc, op_llen,
+                     mat, out_lens):
     """Reference executor: walk op records per segment (NumPy, host).
 
-    Returns list of decoded bytes per segment.
+    Each record places its fused literal run (llen bytes from the
+    compressed matrix at lsrc) at dst, then its copy (clen from csrc back)
+    at dst + llen.  Returns list of decoded bytes per segment.
     """
     op_kind = np.asarray(op_kind)
     op_dst = np.asarray(op_dst)
-    op_len = np.asarray(op_len)
-    op_src = np.asarray(op_src)
+    op_clen = np.asarray(op_clen)
+    op_csrc = np.asarray(op_csrc)
+    op_lsrc = np.asarray(op_lsrc)
+    op_llen = np.asarray(op_llen)
     mat = np.asarray(mat).astype(np.uint8)
     P, B = op_kind.shape
     outs = []
@@ -85,14 +92,15 @@ def execute_ops_host(op_kind, op_dst, op_len, op_src, mat, out_lens):
         out = np.zeros(q, dtype=np.uint8)
         rows = np.nonzero(op_kind[:, b])[0]
         for p in rows:
-            kind = op_kind[p, b]
             dst = int(op_dst[p, b])
-            ln = int(op_len[p, b])
-            if kind == OP_LIT:
-                src = int(op_src[p, b])
-                out[dst : dst + ln] = mat[src : src + ln, b]
-            else:
-                off = int(op_src[p, b])
+            llen = int(op_llen[p, b])
+            if llen:
+                src = int(op_lsrc[p, b])
+                out[dst : dst + llen] = mat[src : src + llen, b]
+                dst += llen
+            ln = int(op_clen[p, b])
+            if ln:
+                off = int(op_csrc[p, b])
                 if off > dst:
                     raise ValueError(
                         f"segment {b}: copy offset {off} exceeds position {dst}"
@@ -112,5 +120,5 @@ def execute_ops_host(op_kind, op_dst, op_len, op_src, mat, out_lens):
 def decode_segments_jnp(seg_bytes_list, out_lens):
     """Decode a batch of segments: scan parse + host execute (reference)."""
     mat, lens = pack_segments(seg_bytes_list)
-    kind, dst, ln, src = parse_segments_scan(jnp.asarray(mat), jnp.asarray(lens))
-    return execute_ops_host(kind, dst, ln, src, mat, out_lens)
+    emits = parse_segments_scan(jnp.asarray(mat), jnp.asarray(lens))
+    return execute_ops_host(*emits, mat, out_lens)

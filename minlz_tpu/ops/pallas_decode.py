@@ -53,8 +53,8 @@ def _interpret() -> bool:
 # Phase 1: parse
 # --------------------------------------------------------------------------
 
-def _parse_kernel(lens_ref, comp_ref, kind_ref, dst_ref, len_ref, src_ref,
-                  state_ref):
+def _parse_kernel(lens_ref, comp_ref, kind_ref, dst_ref, clen_ref, csrc_ref,
+                  lsrc_ref, llen_ref, state_ref):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -71,11 +71,16 @@ def _parse_kernel(lens_ref, comp_ref, kind_ref, dst_ref, len_ref, src_ref,
         word = comp_ref[r >> 2]
         byte = (word >> ((row & 3) * 8)) & 255
         active = row < lens
-        st, (opk, opd, opl, ops) = parse_step(st, byte, active, row)
+        flush = row == lens  # trailing held-literal flush row
+        st, (opk, opd, opcl, opcs, opls, opll) = parse_step(
+            st, byte, active, row, flush
+        )
         kind_ref[r] = opk
         dst_ref[r] = opd
-        len_ref[r] = opl
-        src_ref[r] = ops
+        clen_ref[r] = opcl
+        csrc_ref[r] = opcs
+        lsrc_ref[r] = opls
+        llen_ref[r] = opll
         return st
 
     st = jax.lax.fori_loop(0, ROW_TILE, body, st)
@@ -86,8 +91,9 @@ def _parse_kernel(lens_ref, comp_ref, kind_ref, dst_ref, len_ref, src_ref,
 @functools.partial(jax.jit, static_argnames=("n_rows",))
 def parse_segments_pallas(comp_words, lens, n_rows: int):
     """comp_words: [n_rows//4, SUB, 128] int32 packed bytes (column-major
-    per lane).  lens: [SUB, 128] compressed byte counts.  Returns op arrays
-    [n_rows, SUB, 128]."""
+    per lane).  lens: [SUB, 128] compressed byte counts — every count must
+    be < n_rows so each lane gets its flush row.  Returns 6 op arrays
+    [n_rows, SUB, 128] (kind, dst, clen, csrc, lsrc, llen)."""
     grid = (n_rows // ROW_TILE,)
     out_shape = jax.ShapeDtypeStruct((n_rows, SUB, 128), jnp.int32)
     kernel = pl.pallas_call(
@@ -102,8 +108,8 @@ def parse_segments_pallas(comp_words, lens, n_rows: int):
         out_specs=[
             pl.BlockSpec((ROW_TILE, SUB, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM)
-        ] * 4,
-        out_shape=[out_shape] * 4,
+        ] * 6,
+        out_shape=[out_shape] * 6,
         scratch_shapes=[pltpu.VMEM((_N_FIELDS, SUB, 128), jnp.int32)],
         interpret=_interpret(),
     )
@@ -154,57 +160,97 @@ def _make_exec_kernel(seg_rows: int, comp_rows_per_lane: int):
             return window
 
         def do_op(i, _):
-            a = ops_ref[i * 2]
-            b = ops_ref[i * 2 + 1]
+            a = ops_ref[i * 3]
+            b = ops_ref[i * 3 + 1]
+            c = ops_ref[i * 3 + 2]
             lane = (b >> 22) & 255
-            kind = a >> 25
-            # Output positions are global within the block.
-            gdst = lane * (seg_rows * 128) + (a & 4095)
-            ln = (a >> 12) & 8191
-            src = b & ((1 << 22) - 1)
+            # Record = fused literal run (llen bytes from the lane's
+            # compressed stream) followed by a copy (clen from csrc back).
+            gd0 = lane * (seg_rows * 128) + (a & 4095)
+            clen = (a >> 12) & 8191
+            csrc = b & ((1 << 22) - 1)
+            lsrc = c & 8191
+            llen = (c >> 13) & 8191
 
             comp_win = make_window(comp_ref, lane * comp_rows_per_lane)
             out_win = make_window(out_ref, 0)
 
-            def blocks_loop(value_for_block):
+            def rmw(d0, gdst, ln, v):
+                """Masked RMW of the out row holding byte d0."""
+                row = pl.ds(d0 // 128, 1)
+                mask = (iota + d0 >= gdst) & (iota + d0 < gdst + ln)
+                cur = jnp.broadcast_to(out_ref[row, :], (8, 128))
+                out_ref[row, :] = jnp.where(mask, v, cur)[0:1]
+
+            def blocks_loop(gdst, ln, value_for_block):
                 """Write value_for_block(d0)[j] over aligned 128-blocks of
                 [gdst, gdst+ln) with head/tail RMW masking."""
 
                 def body(d0):
-                    v = value_for_block(d0)
-                    row = pl.ds(d0 // 128, 1)
-                    mask = (iota + d0 >= gdst) & (iota + d0 < gdst + ln)
-                    cur = jnp.broadcast_to(out_ref[row, :], (8, 128))
-                    sel = jnp.where(mask, v, cur)
-                    out_ref[row, :] = sel[0:1]
+                    rmw(d0, gdst, ln, value_for_block(d0))
                     return d0 + 128
 
                 jax.lax.while_loop(
                     lambda d0: d0 < gdst + ln, body, (gdst // 128) * 128
                 )
 
-            @pl.when(kind == 1)
-            def _lit():
-                # Literal run from this lane's compressed stream.
-                blocks_loop(lambda d0: comp_win(src + (d0 - gdst)))
+            gdst = gd0 + llen
+            off = csrc
+            sbase = gdst - off
+            # Short ops (span <= 128 bytes => at most 2 out rows per part)
+            # take a straight-line path: no loop machinery, one branch for
+            # the copy's overlap mode.  Long ops fall back to the loop.
+            is_long = (llen > 128) | (clen > 128)
 
-            @pl.when(kind == 2)
-            def _copy():
-                off = src
-                sbase = gdst - off
+            @pl.when(~is_long)
+            def _fast():
+                @pl.when(llen > 0)
+                def _lit2():
+                    d0 = (gd0 // 128) * 128
+                    rmw(d0, gd0, llen, comp_win(lsrc + (d0 - gd0)))
+                    rmw(d0 + 128, gd0, llen,
+                        comp_win(lsrc + (d0 + 128 - gd0)))
 
-                @pl.when(off >= 128)
+                @pl.when((clen > 0) & (off >= 128))
+                def _far2():
+                    d0 = (gdst // 128) * 128
+                    rmw(d0, gdst, clen, out_win(sbase + (d0 - gdst)))
+                    rmw(d0 + 128, gdst, clen,
+                        out_win(sbase + (d0 + 128 - gdst)))
+
+                @pl.when((clen > 0) & (off < 128))
+                def _near2():
+                    pattern = out_win(sbase)
+                    d0 = (gdst // 128) * 128
+                    rmw(d0, gdst, clen, jnp.take_along_axis(
+                        pattern, (iota + (d0 - gdst)) % off, axis=1))
+                    rmw(d0 + 128, gdst, clen, jnp.take_along_axis(
+                        pattern, (iota + (d0 + 128 - gdst)) % off, axis=1))
+
+            @pl.when(is_long)
+            def _slow():
+                @pl.when(llen > 0)
+                def _lit():
+                    blocks_loop(
+                        gd0, llen, lambda d0: comp_win(lsrc + (d0 - gd0))
+                    )
+
+                @pl.when((clen > 0) & (off >= 128))
                 def _far():
-                    blocks_loop(lambda d0: out_win(sbase + (d0 - gdst)))
+                    blocks_loop(
+                        gdst, clen, lambda d0: out_win(sbase + (d0 - gdst))
+                    )
 
-                @pl.when(off < 128)
+                @pl.when((clen > 0) & (off < 128))
                 def _near():
                     # Periodic RLE: out[gdst+j] = pattern[j % off].
                     pattern = out_win(sbase)
                     blocks_loop(
+                        gdst,
+                        clen,
                         lambda d0: jnp.take_along_axis(
                             pattern, (iota + (d0 - gdst)) % off, axis=1
-                        )
+                        ),
                     )
 
             return 0
@@ -223,7 +269,7 @@ def _make_exec_kernel(seg_rows: int, comp_rows_per_lane: int):
 )
 def execute_ops_pallas(ops, n_real, comp_bytes, n_ops: int, pc: int,
                        n_out_rows: int, seg_rows: int):
-    """ops: [n_ops, 2] packed int32 (see compact_ops); n_real: scalar real
+    """ops: [n_ops, 3] packed int32 (see compact_ops); n_real: scalar real
     op count.  comp_bytes: [B*pc/128, 128] int32.  Returns out
     [n_out_rows, 128] int32 bytes."""
     grid = (n_ops // OP_TILE,)
@@ -235,7 +281,7 @@ def execute_ops_pallas(ops, n_real, comp_bytes, n_ops: int, pc: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((OP_TILE * 2,), lambda t: (t,),
+            pl.BlockSpec((OP_TILE * 3,), lambda t: (t,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n_crows, 128), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -261,12 +307,13 @@ def execute_ops_pallas(ops, n_real, comp_bytes, n_ops: int, pc: int,
 _CWIN = 16384  # compaction window (elements per sorted row)
 
 
-def _stitch_kernel(meta_ref, a_ref, b_ref, outa_ref, outb_ref):
+def _stitch_kernel(meta_ref, a_ref, b_ref, c_ref, outa_ref, outb_ref,
+                   outc_ref):
     """Copy this window's first count elements to out[offset:offset+count].
 
     meta_ref: SMEM [nwin, 2] = (offset, count) per window.
-    a_ref/b_ref: [1, _CWIN//128 + 1, 128] sorted window (+1 zero row pad).
-    outa/outb: [max_ops//128, 128] accumulated across grid steps.
+    a/b/c_ref: [1, _CWIN//128 + 1, 128] sorted window (+1 zero row pad).
+    outa/b/c: [max_ops//128, 128] accumulated across grid steps.
     """
     i = pl.program_id(0)
     o = meta_ref[i, 0]
@@ -299,31 +346,40 @@ def _stitch_kernel(meta_ref, a_ref, b_ref, outa_ref, outb_ref):
     def _():
         write_rows(a_ref, outa_ref)
         write_rows(b_ref, outb_ref)
+        write_rows(c_ref, outc_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("max_ops",))
-def compact_ops(kind, dst, ln, src, max_ops: int):
+def compact_ops(kind, dst, clen, csrc, lsrc, llen, max_ops: int):
     """Compact per-row op records into a dense packed list ordered by
     (lane, row) so the whole block's ops are in output order.
 
-    Returns (packed [max_ops, 2] int32, n_real).  Word A = dst | len<<12 |
-    kind<<25; word B = src | lane<<22 (src <= 2,162,687 < 2^22)."""
+    Returns (packed [max_ops, 3] int32, n_real).  Word A = dst | clen<<12 |
+    kind<<25; word B = csrc | lane<<22 (csrc <= 2,162,687 < 2^22);
+    word C = lsrc | llen<<13."""
     P = kind.shape[0]
-    k = kind.reshape(P, -1).T.reshape(-1)  # [B*P], lane-major
-    d = dst.reshape(P, -1).T.reshape(-1)
-    l = ln.reshape(P, -1).T.reshape(-1)
-    s = src.reshape(P, -1).T.reshape(-1)
+
+    def lane_major(x):
+        return x.reshape(P, -1).T.reshape(-1)
+
+    k = lane_major(kind)
     lane = jax.lax.broadcasted_iota(jnp.int32, (B_LANES, P), 0).reshape(-1)
     L = B_LANES * P
-    a = d | (l << 12) | (k << 25)
-    b = s | (lane << 22)
+    a = lane_major(dst) | (lane_major(clen) << 12) | (k << 25)
+    b = lane_major(csrc) | (lane << 22)
+    c = lane_major(lsrc) | (lane_major(llen) << 13)
 
     W = min(_CWIN, L)
     nwin = L // W
     big = jnp.int32(0x7FFFFFFF)
     key = jnp.where(k > 0, jnp.arange(L, dtype=jnp.int32), big)
-    key_s, a_s, b_s = jax.lax.sort(
-        (key.reshape(nwin, W), a.reshape(nwin, W), b.reshape(nwin, W)),
+    key_s, a_s, b_s, c_s = jax.lax.sort(
+        (
+            key.reshape(nwin, W),
+            a.reshape(nwin, W),
+            b.reshape(nwin, W),
+            c.reshape(nwin, W),
+        ),
         dimension=1,
         num_keys=1,
     )
@@ -334,27 +390,31 @@ def compact_ops(kind, dst, ln, src, max_ops: int):
     pad = jnp.zeros((nwin, 1, 128), jnp.int32)
     a_p = jnp.concatenate([a_s.reshape(nwin, W // 128, 128), pad], axis=1)
     b_p = jnp.concatenate([b_s.reshape(nwin, W // 128, 128), pad], axis=1)
+    c_p = jnp.concatenate([c_s.reshape(nwin, W // 128, 128), pad], axis=1)
 
     rows = max_ops // 128
+    win_spec = pl.BlockSpec((1, W // 128 + 1, 128), lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _stitch_kernel,
         grid=(nwin,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, W // 128 + 1, 128), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W // 128 + 1, 128), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            win_spec,
+            win_spec,
+            win_spec,
         ],
         out_specs=[
             pl.BlockSpec((rows, 128), lambda t: (0, 0),
                          memory_space=pltpu.VMEM)
-        ] * 2,
-        out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)] * 2,
+        ] * 3,
+        out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)] * 3,
         interpret=_interpret(),
-    )(meta, a_p, b_p)
+    )(meta, a_p, b_p, c_p)
     n_real = offsets[-1] + counts[-1]
-    packed = jnp.stack([out[0].reshape(-1), out[1].reshape(-1)], axis=1)
+    packed = jnp.stack(
+        [out[0].reshape(-1), out[1].reshape(-1), out[2].reshape(-1)], axis=1
+    )
     return packed, n_real
 
 
@@ -374,7 +434,9 @@ def decode_block_tpu(seg_bytes_list, out_total: int, seg: int = SEG_OUT):
     if nseg > B_LANES:
         raise ValueError(f"{nseg} segments exceed {B_LANES} lanes per batch")
     pc_data = max(len(sb) for sb in seg_bytes_list)
-    n_rows = -(-pc_data // ROW_TILE) * ROW_TILE
+    # Strictly more rows than the longest segment: every lane needs its
+    # flush row (row == len) for trailing held literals.
+    n_rows = -(-(pc_data + 1) // ROW_TILE) * ROW_TILE
     pc = n_rows + MARGIN
 
     lens = np.zeros((SUB, 128), np.int32)
@@ -392,7 +454,7 @@ def decode_block_tpu(seg_bytes_list, out_total: int, seg: int = SEG_OUT):
         * (1 << (8 * np.arange(4, dtype=np.int32)))[None, :, None, None]
     ).sum(axis=1)
 
-    kind, dstA, lnA, srcA = parse_segments_pallas(
+    emits = parse_segments_pallas(
         jnp.asarray(words), jnp.asarray(lens), n_rows
     )
 
@@ -402,7 +464,7 @@ def decode_block_tpu(seg_bytes_list, out_total: int, seg: int = SEG_OUT):
     bound = total_comp // 2 + len(seg_bytes_list) + 1
     max_ops = -(-min(bound, n_rows * B_LANES) // OP_TILE) * OP_TILE
     max_ops = max(max_ops, OP_TILE)
-    packed, n_real = compact_ops(kind, dstA, lnA, srcA, max_ops)
+    packed, n_real = compact_ops(*emits, max_ops)
 
     seg_rows = seg // 128
     n_out_rows = nseg * seg_rows + 8  # +8 rows window-load margin

@@ -13,13 +13,16 @@ The step function is pure jnp so the exact same code runs under
 Token semantics follow MinLZ SPEC.md §2 (reference decoder
 ``internal/reference/decoder.go:26``; optimized loop ``decode.go:178``).
 
-Emitted op records (one per row at most, at the step where a token's header
-or literal run completes):
-  kind: 0 = none, 1 = literal run, 2 = copy
-  dst:  segment-local output offset
-  len:  run/copy length
-  src:  literal run -> compressed-stream row of the first literal byte;
-        copy        -> back-reference distance (offset)
+Emitted op records (one per row at most; literal runs are HELD and fused
+onto the next copy token so most lit+copy pairs cost one executor op):
+  kind:  0 = none, 1 = literal-only, 2 = has-copy (may carry fused lits)
+  dst:   segment-local output offset of the record (lits first, then copy)
+  clen:  copy length (0 for literal-only records)
+  csrc:  copy back-reference distance (offset)
+  lsrc:  compressed-stream row of the first literal byte
+  llen:  literal run length (0 when the copy has no attached literals)
+A held literal is flushed alone when another literal run begins or at the
+end-of-segment flush row (row == segment compressed length).
 """
 
 from __future__ import annotations
@@ -38,6 +41,8 @@ STATE_FIELDS = (
     "off_left", "lext_left", "acc_off", "acc_off_cnt", "acc_len",
     "acc_len_cnt", "c3_pend", "c3_off",
     "lit_left", "have_pend", "pend_off", "pend_len",
+    "pend_lsrc", "pend_llen",
+    "have_lit", "hl_dst", "hl_src", "hl_len",
     "dpos", "rep",
 )
 
@@ -48,7 +53,7 @@ def init_state(shape):
     return st
 
 
-def parse_step(st, byte, active, row):
+def parse_step(st, byte, active, row, flush=None):
     """One transducer step.
 
     st:     dict of [lanes]-shaped int32 vectors.
@@ -56,9 +61,14 @@ def parse_step(st, byte, active, row):
             inactive).
     active: [lanes] bool, row < segment compressed length.
     row:    scalar int32, current row index.
+    flush:  [lanes] bool, row == segment compressed length — the one row
+            where a held trailing literal run is emitted alone.
 
-    Returns (new_state, (op_kind, op_dst, op_len, op_src)).
+    Returns (new_state, (op_kind, op_dst, op_clen, op_csrc, op_lsrc,
+    op_llen)).
     """
+    if flush is None:
+        flush = jnp.zeros_like(active)
     mode = st["mode"]
     is_idle = active & (mode == IDLE)
     is_hdr = active & (mode == HDR)
@@ -197,22 +207,42 @@ def parse_step(st, byte, active, row):
     emit_pend = lit_end & (st["have_pend"] == 1)
 
     # ---------------- Emission -------------------------------------------
+    # Literal runs are held (have_lit/hl_*) and attached to the next copy;
+    # a held lit flushes alone when a new literal phase begins or at the
+    # end-of-segment flush row.
+    have_lit = st["have_lit"] == 1
+    hold_new = enter_lit & k_lit  # plain literal run: hold it
+    flush_held = (enter_lit | flush) & have_lit
+    emit_comb = imm_copy | emit_pend
+
+    comb_llen = jnp.where(
+        emit_pend,
+        st["pend_llen"],
+        jnp.where(have_lit, st["hl_len"], 0),
+    )
+    comb_lsrc = jnp.where(
+        emit_pend,
+        st["pend_lsrc"],
+        jnp.where(have_lit, st["hl_src"], 0),
+    )
+    comb_dst = jnp.where(
+        emit_pend,
+        st["dpos"] - st["pend_llen"],
+        jnp.where(have_lit, st["hl_dst"], st["dpos"]),
+    )
     op_kind = jnp.where(
-        enter_lit,
-        OP_LIT,
-        jnp.where(imm_copy | emit_pend, OP_COPY, OP_NONE),
+        emit_comb, OP_COPY, jnp.where(flush_held, OP_LIT, OP_NONE)
     )
-    op_dst = st["dpos"]
-    op_len = jnp.where(
-        enter_lit,
-        lit_phase_len,
-        jnp.where(imm_copy, imm_len, st["pend_len"]),
+    op_dst = jnp.where(emit_comb, comb_dst, st["hl_dst"])
+    op_clen = jnp.where(
+        imm_copy, imm_len, jnp.where(emit_pend, st["pend_len"], 0)
     )
-    op_src = jnp.where(
-        enter_lit,
-        row + 1,
-        jnp.where(imm_copy, imm_off, st["pend_off"]),
+    op_csrc = jnp.where(
+        imm_copy, imm_off, jnp.where(emit_pend, st["pend_off"], 0)
     )
+    op_lsrc = jnp.where(emit_comb, comb_lsrc, st["hl_src"])
+    op_llen = jnp.where(emit_comb, comb_llen, st["hl_len"])
+    op_llen = jnp.where(emit_comb | flush_held, op_llen, 0)
 
     # ---------------- State update ---------------------------------------
     dpos = st["dpos"] + jnp.where(
@@ -277,13 +307,32 @@ def parse_step(st, byte, active, row):
         "pend_len": jnp.where(
             active & pend, pend_len_new, st["pend_len"]
         ),
+        "pend_lsrc": jnp.where(active & pend, row + 1, st["pend_lsrc"]),
+        "pend_llen": jnp.where(active & pend, litcnt, st["pend_llen"]),
+        "have_lit": jnp.where(
+            active & hold_new,
+            1,
+            jnp.where(
+                (active & (emit_comb | (enter_lit & pend))) | flush,
+                0,
+                st["have_lit"],
+            ),
+        ),
+        "hl_dst": jnp.where(active & hold_new, st["dpos"], st["hl_dst"]),
+        "hl_src": jnp.where(active & hold_new, row + 1, st["hl_src"]),
+        "hl_len": jnp.where(
+            active & hold_new, lit_phase_len, st["hl_len"]
+        ),
         "dpos": jnp.where(active, dpos, st["dpos"]),
         "rep": jnp.where(active, rep, st["rep"]),
     }
+    live = active | flush
     emit = (
-        jnp.where(active, op_kind, OP_NONE),
-        jnp.where(active, op_dst, 0),
-        jnp.where(active, op_len, 0),
-        jnp.where(active, op_src, 0),
+        jnp.where(live, op_kind, OP_NONE),
+        jnp.where(live, op_dst, 0),
+        jnp.where(live, op_clen, 0),
+        jnp.where(live, op_csrc, 0),
+        jnp.where(live, op_lsrc, 0),
+        jnp.where(live, op_llen, 0),
     )
     return new_st, emit
