@@ -30,6 +30,44 @@ def make_mesh(devices=None, axis: str = "blocks") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def sharded_decode_parse(mesh: Mesh, comp_mat, comp_lens):
+    """Data-parallel decode parse over a mesh: each device runs the
+    byte-lockstep transducer on its own blocks' segment matrices, then
+    per-block op counts are all-gathered and scanned so every device knows
+    the deterministic global op offsets (stream-order assembly without the
+    reference's channel ordering; reader.go:612-668 equivalent).
+
+    comp_mat:  [n_blocks, P, S] int32 packed compressed bytes (column =
+               segment), sharded over the mesh's first axis.
+    comp_lens: [n_blocks, S] int32 per-segment compressed lengths (< P).
+    Returns (op arrays [n_blocks, P, S] x6, global op offsets [n_blocks]).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.decode_kernel import parse_segments_scan
+
+    axis = mesh.axis_names[0]
+
+    def per_device(mat, lens):
+        emits = jax.vmap(parse_segments_scan)(mat, lens)
+        ops = jnp.sum(emits[0] > 0, axis=(1, 2), dtype=jnp.int32)
+        all_ops = jax.lax.all_gather(ops, axis).reshape(-1)
+        offs = jnp.cumsum(all_ops) - all_ops
+        my = jax.lax.axis_index(axis)
+        local = ops.shape[0]
+        my_offs = jax.lax.dynamic_slice(offs, (my * local,), (local,))
+        return (*emits, my_offs)
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None)),
+        out_specs=(*([P(axis, None, None)] * 6), P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(fn)(comp_mat, comp_lens)
+
+
 def sharded_pipeline_step(mesh: Mesh, data_blocks, n_valid, seg: int = 4096):
     """One data-parallel encode pipeline step over a mesh.
 

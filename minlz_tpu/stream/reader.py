@@ -156,18 +156,105 @@ class Reader:
                 self._handle_control_chunk(ctype, clen)
 
     def decode_concurrent(self, dst, concurrency: int = 0) -> int:
-        """Decode the whole stream into file-like ``dst``; block decode may be
-        batched/fanned out by the backend (reference DecodeConcurrent)."""
+        """Decode the whole stream into file-like ``dst`` with up to
+        ``concurrency`` blocks decoding in parallel; output order is
+        preserved by draining futures FIFO (reference DecodeConcurrent,
+        reader.go:548 — its write-token chain becomes an ordered queue).
+
+        The native codec releases the GIL, so host threads scale; with
+        concurrency <= 1 this is a plain sequential drain."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        if concurrency == 0:
+            concurrency = min(os.cpu_count() or 1, 8)
         total = 0
-        while True:
-            if self._decoded_pos < len(self._decoded):
-                data = self._decoded[self._decoded_pos :]
+        if self._decoded_pos < len(self._decoded):
+            data = self._decoded[self._decoded_pos :]
+            dst.write(data)
+            total += len(data)
+            self._decoded_pos = len(self._decoded)
+        if concurrency <= 1 or self._device_codec is not None:
+            while self._next_block():
+                dst.write(self._decoded)
+                total += len(self._decoded)
+                self._decoded_pos = len(self._decoded)
+            return total
+
+        pending = []
+        with ThreadPoolExecutor(concurrency) as pool:
+
+            def drain_one():
+                nonlocal total
+                fut = pending.pop(0)
+                data = fut.result()
                 dst.write(data)
                 total += len(data)
-                self._decoded_pos = len(self._decoded)
-            if not self._next_block():
-                break
+                self._uncompressed_seen += len(data)
+
+            while True:
+                hdr = self._read_exact(4, allow_eof=True)
+                if hdr is None:
+                    if (
+                        self._seen_data
+                        and not self._seen_eof_chunk
+                        and not self._ignore_missing_eof
+                    ):
+                        raise CorruptError(
+                            "stream truncated: missing EOF chunk"
+                        )
+                    break
+                ctype = hdr[0]
+                clen = int.from_bytes(hdr[1:4], "little")
+                if not self._read_header and ctype != CHUNK_TYPE_STREAM_ID:
+                    raise CorruptError(
+                        "stream must start with stream identifier"
+                    )
+                if ctype in (
+                    CHUNK_TYPE_MINLZ_COMPRESSED,
+                    CHUNK_TYPE_MINLZ_COMPRESSED_CRC,
+                    CHUNK_TYPE_UNCOMPRESSED_DATA,
+                ):
+                    payload = self._read_exact(clen)
+                    self._seen_data = True
+                    # Threads run the stateless payload decode only; reader
+                    # bookkeeping happens in drain order.
+                    pending.append(
+                        pool.submit(self._decode_payload, ctype, payload)
+                    )
+                    while len(pending) > 2 * concurrency:
+                        drain_one()
+                else:
+                    # Control chunks need ordered context; drain first.
+                    while pending:
+                        drain_one()
+                    self._handle_control_chunk(ctype, clen)
+            while pending:
+                drain_one()
+        self._decoded = b""
+        self._decoded_pos = 0
         return total
+
+    def _decode_payload(self, ctype: int, payload: bytes) -> bytes:
+        """Stateless data-chunk decode (thread-safe): CRC check + block
+        decode without touching reader position state."""
+        if len(payload) < 4:
+            raise CorruptError("data chunk shorter than its checksum")
+        want_crc = int.from_bytes(payload[:4], "little")
+        body = payload[4:]
+        if ctype == CHUNK_TYPE_UNCOMPRESSED_DATA:
+            data = body
+            if not self._ignore_crc and crc(data) != want_crc:
+                raise CorruptError("uncompressed data CRC mismatch")
+            return data
+        if ctype == CHUNK_TYPE_MINLZ_COMPRESSED_CRC:
+            if not self._ignore_crc and crc(body) != want_crc:
+                raise CorruptError("compressed data CRC mismatch")
+        data = blockapi.decode(b"\x00" + body)
+        if ctype == CHUNK_TYPE_MINLZ_COMPRESSED:
+            if not self._ignore_crc and crc(data) != want_crc:
+                raise CorruptError("decoded data CRC mismatch")
+        return data
 
     def __enter__(self):
         return self

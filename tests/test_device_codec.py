@@ -65,3 +65,45 @@ def test_device_stream_incompressible():
         w.encode_buffer(data)
     enc = buf.getvalue()
     assert Reader(io.BytesIO(enc), device=True).readall() == data
+
+
+def test_sharded_decode_parse_matches_unsharded(twain):
+    """Mesh-sharded transducer parse == per-block unsharded parse, with
+    deterministic global op offsets from the collective scan."""
+    import jax
+    import numpy as np
+
+    from minlz_tpu.oracle import encode as oenc
+    from minlz_tpu.oracle.decode import parse_header
+    from minlz_tpu.ops.decode_kernel import pack_segments, parse_segments_scan
+    from minlz_tpu.parallel import make_mesh, sharded_decode_parse
+
+    n_dev = len(jax.devices())
+    nblocks = n_dev * 2
+    segs = []
+    for i in range(nblocks):
+        data = twain[i * 400 : i * 400 + 3000]
+        enc = oenc.encode_block(data)
+        lit_only, want, pos = parse_header(enc)
+        assert not lit_only
+        segs.append(enc[pos:])
+    P = 1 << max(len(s) for s in segs).bit_length()
+    S = 4
+    mat = np.zeros((nblocks, P, S), np.int32)
+    lens = np.zeros((nblocks, S), np.int32)
+    for i, s in enumerate(segs):
+        a = np.frombuffer(s, np.uint8)
+        mat[i, : len(a), 0] = a
+        lens[i, 0] = len(a)
+
+    mesh = make_mesh()
+    out = sharded_decode_parse(mesh, mat, lens)
+    offs = np.asarray(out[-1])
+    kinds = np.asarray(out[0])
+    ops_per_block = (kinds > 0).sum(axis=(1, 2))
+    assert (np.diff(offs) == ops_per_block[:-1]).all()
+    # Differential vs unsharded parse of block 0.
+    m0, l0 = pack_segments([segs[0]])
+    ref = parse_segments_scan(np.asarray(m0), np.asarray(l0))
+    got_kind = kinds[0][: ref[0].shape[0], :1]
+    assert (np.asarray(ref[0]) == got_kind).all()

@@ -248,3 +248,19 @@ def test_reader_eof_enforcement_concat_streams(twain):
     one = buf.getvalue()
     # Two complete concatenated streams decode fine.
     assert Reader(io.BytesIO(one + one)).readall() == twain + twain
+
+
+def test_decode_concurrent_ordered(twain):
+    data = twain * 40
+    buf = io.BytesIO()
+    with Writer(buf, block_size=16 << 10) as w:
+        w.encode_buffer(data)
+    raw = buf.getvalue()
+    out = io.BytesIO()
+    n = Reader(io.BytesIO(raw)).decode_concurrent(out, concurrency=4)
+    assert n == len(data)
+    assert out.getvalue() == data
+    # Sequential path agrees.
+    out2 = io.BytesIO()
+    Reader(io.BytesIO(raw)).decode_concurrent(out2, concurrency=1)
+    assert out2.getvalue() == data
