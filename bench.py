@@ -92,7 +92,7 @@ def make_corpus(total_bytes: int) -> bytes:
     return b"".join(parts)[:total_bytes]
 
 
-def timed_device(fn, args, iters, chain=8):
+def timed_device(fn, args, iters, chain=32):
     """Median per-call wall time of jitted fn over device-resident args.
 
     Dispatches ``chain`` back-to-back calls per measurement and syncs once,

@@ -193,6 +193,14 @@ def cmd_decompress(args, to_stdout=False) -> int:
                     start = args.offset
                 rs.seek(start)
                 data = rs.read(args.limit if args.limit else -1)
+            elif getattr(args, "cpu", 0) > 1:
+                out = io.BytesIO()
+                Reader(io.BytesIO(raw)).decode_concurrent(
+                    out, concurrency=args.cpu
+                )
+                data = out.getvalue()
+                if args.limit:
+                    data = data[: args.limit]
             else:
                 data = Reader(
                     io.BytesIO(raw), device=getattr(args, "device", False)
@@ -527,6 +535,8 @@ def main(argv=None) -> int:
                         help="keep reading as the file grows (tail -f)")
         pd.add_argument("-block-debug", dest="block_debug",
                         action="store_true", help="dump per-op anatomy")
+        pd.add_argument("-cpu", type=int, default=0,
+                        help="concurrent block decode threads")
         pd.add_argument("-device", action="store_true")
         pd.add_argument("-o", dest="output")
         pd.add_argument("files", nargs="+")

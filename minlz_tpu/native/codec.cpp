@@ -18,6 +18,11 @@ namespace {
 
 constexpr size_t kMaxBlock = 8u << 20;
 
+inline uint16_t load16(const uint8_t* p) {
+  uint16_t v;
+  memcpy(&v, p, 2);
+  return v;
+}
 inline uint32_t load32(const uint8_t* p) {
   uint32_t v;
   memcpy(&v, p, 4);
@@ -547,11 +552,16 @@ long encode_balanced(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
       if (out.size() > dst_limit) return -1;
       // Index interior positions.
       size_t step = best_len < 512 ? 1 : 2;
-      for (size_t i = s + 1; i + 8 <= end; i += step) {
+      size_t i = s + 1;
+      for (; i + 8 <= end; i += step) {
         uint64_t v = load64(src + i);
         longT[hash8(v, lbits)] = (uint32_t)i;
         shortT[hash4((uint32_t)v, sbits)] = (uint32_t)i;
       }
+      // Tail positions still feed the short table (next match often
+      // starts right after this one).
+      for (; i + 4 <= end && i + 4 <= n; i++)
+        shortT[hash4(load32(src + i), sbits)] = (uint32_t)i;
       s = end;
       next_emit = s;
       continue;
@@ -623,7 +633,9 @@ long encode_best(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
       // only their header amortization differs, ignored here).
       long gain = (long)len - (long)copy_cost(offset, (uint32_t)len, rep_now ? rep : 0xFFFFFFFFu);
       if (rep_now) gain += 1;  // repeat keeps the offset live; mild bonus
-      if (gain > best.gain) {
+      if (base > s) gain -= (long)(base - s);  // deferred start costs literals
+      if (gain > best.gain ||
+          (gain == best.gain && best.len && offset < best.base - best.cand)) {
         best = {base, c, len, gain, rep_now};
       }
     };
@@ -655,7 +667,14 @@ long encode_best(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
                  rep);
       size_t end = best.base + best.len;
       if (out.size() > dst_limit) return -1;
-      for (size_t i = s + 1; i + 8 <= end; i++) insert(i);
+      size_t i = s + 1;
+      for (; i + 8 <= end; i++) insert(i);
+      // Tail positions can't feed the 8-byte long hash but matter to the
+      // short table: the next match often starts right after this one.
+      for (; i + 4 <= end && i + 4 <= n; i++) {
+        uint64_t& se = shortT[hash4(load32(src + i), sbits)];
+        se = (se << 32) | (uint32_t)i;
+      }
       s = end;
       next_emit = s;
       continue;
@@ -732,6 +751,9 @@ MINLZ_EXPORT long minlz_encode_block(const uint8_t* src, size_t n,
   } else {
     int bits = level <= -1 ? 13 : 15;
     int skip_log = level <= -1 ? 5 : 6;
+    // Size-class the table like the reference's 1K..8MB asm variants:
+    // small inputs never fill a big table, so shrink it for cache locality.
+    while (bits > 8 && ((size_t)1 << (bits + 2)) > n) bits--;
     blen = encode_greedy(src, n, body, bits, skip_log);
   }
   if (blen < 0) return uncompressed();
@@ -785,12 +807,33 @@ MINLZ_EXPORT long minlz_parse_serialize(
     size_t look_p = (size_t)-1, look_l = 0;  // memoized lookahead vlen
     while (p + 4 <= s1) {
       uint32_t d = (uint32_t)dist[p];
+      // Fast path: no proposal here and no live repeat match (even a
+      // 2-byte repeat is profitable: 1 emitted byte covers 2) — skip runs
+      // of proposal-free positions two at a time.
+      if (d == 0) {
+        bool rep_hit = rep && rep <= p &&
+                       load16(src + p) == load16(src + p - rep);
+        if (!rep_hit) {
+          p++;
+          bool no_rep = rep == 0;
+          while (p + 9 <= s1 &&
+                 load64((const uint8_t*)(dist + p)) == 0 &&
+                 (no_rep || rep > p + 1 ||
+                  (rep <= p &&
+                   load16(src + p) != load16(src + p - rep) &&
+                   load16(src + p + 1) != load16(src + p + 1 - rep))))
+            p += 2;
+          continue;
+        }
+      }
       size_t l = (p == look_p) ? look_l : vlen(p, d);
       bool is_rep = false;
-      // Repeat probe: a repeat token is 1-3 bytes regardless of offset.
-      if (rep && rep <= p) {
-        size_t rl = match_len(src + p, src + p - rep, s1 - p);
-        if (rl >= 2 && rl + 2 >= l) {
+      // Repeat probe (2-byte gated): a repeat token is 1-3 bytes
+      // regardless of offset, so even 2-byte repeats pay for themselves.
+      if (rep && rep <= p && load16(src + p) == load16(src + p - rep)) {
+        size_t rl = 2 + match_len(src + p + 2, src + p - rep + 2,
+                                  s1 - p - 2);
+        if (rl + 2 >= l) {
           d = rep;
           l = rl;
           is_rep = true;

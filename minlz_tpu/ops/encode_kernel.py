@@ -144,11 +144,14 @@ def find_matches_dyn(data_flat, n, seg: int = SEG):
     keyflat = jnp.where(valid, (h << _POS_BITS), sentinel)
     v0i = v0.astype(jnp.int32)
 
-    # One aligned pass suffices at stride 1: matches crossing window
-    # boundaries are caught by the stride-8 level (its own shifted pass)
-    # and re-extended byte-exactly by the host parse, so only short
-    # boundary matches (<8 bytes) are ever lost.
+    # Two passes (aligned + half-window shifted): short matches crossing
+    # window boundaries are invisible to the aligned pass AND to the
+    # strided levels (8-byte sampling rarely aligns on a <16-byte match),
+    # so the shifted pass is worth its ~1.2ms — dropping it costs ~8 ratio
+    # points on match-dense data (measured on the bench corpus).
     cands = _window_pass(keyflat, [v0i], N, W, 0, nback=2)
+    if N > W:
+        cands += _window_pass(keyflat, [v0i], N, W, W // 2, nback=1)
 
     for cand in cands:
         dist = jnp.where(cand >= 0, pos - cand, 0)

@@ -72,6 +72,7 @@ class Writer:
         device: bool = False,
         parse_hints: bool | None = None,
         search_table=None,
+        debug_validate: bool = False,
     ):
         if not MIN_BLOCK_SIZE <= block_size <= MAX_BLOCK_SIZE:
             raise ValueError(f"block_size {block_size} out of range 4KiB..8MiB")
@@ -91,6 +92,9 @@ class Writer:
         self._search_cfg = search_table
         self._search_held = None  # raw block deferred for overlap indexing
         self._wrote_search_info = False
+        # Decode every block right after encoding it and compare
+        # (reference debugValidateBlocks, encode.go:108).
+        self._debug_validate = debug_validate
         if device:
             from ..ops.device_codec import get_device_codec
 
@@ -370,6 +374,11 @@ class Writer:
             if comp is not None and len(comp) >= len(data):
                 comp = None
                 hint_chunk = b""
+        if comp is not None and self._debug_validate:
+            if blockapi.decode(b"\x00" + comp) != data:
+                raise AssertionError(
+                    "debug_validate: encoded block does not decode to input"
+                )
         c = crc(data)
         if comp is None:
             payload = c.to_bytes(4, "little") + data

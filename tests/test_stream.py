@@ -264,3 +264,11 @@ def test_decode_concurrent_ordered(twain):
     out2 = io.BytesIO()
     Reader(io.BytesIO(raw)).decode_concurrent(out2, concurrency=1)
     assert out2.getvalue() == data
+
+
+def test_writer_debug_validate(twain):
+    buf = io.BytesIO()
+    with Writer(buf, block_size=8 << 10, debug_validate=True,
+                concurrency=1) as w:
+        w.encode_buffer(twain * 4)
+    assert Reader(io.BytesIO(buf.getvalue())).readall() == twain * 4
