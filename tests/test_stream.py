@@ -272,3 +272,76 @@ def test_writer_debug_validate(twain):
                 concurrency=1) as w:
         w.encode_buffer(twain * 4)
     assert Reader(io.BytesIO(buf.getvalue())).readall() == twain * 4
+
+
+def test_writer_option_matrix(twain):
+    """Sweep writer options the way the reference's writer_test does."""
+    import itertools
+
+    data = twain * 3
+    for bs, level, idx, pad in itertools.product(
+        (4 << 10, 32 << 10), (-1, 1, 2, 3), (False, True), (0, 4096)
+    ):
+        buf = io.BytesIO()
+        with Writer(buf, block_size=bs, level=level, add_index=idx,
+                    padding=pad, concurrency=1) as w:
+            w.write(data)
+        raw = buf.getvalue()
+        if pad:
+            assert len(raw) % pad == 0, (bs, level, idx, pad)
+        assert Reader(io.BytesIO(raw)).readall() == data, (bs, level, idx, pad)
+
+
+def test_writer_uncompressed_and_custom_encoder(twain):
+    buf = io.BytesIO()
+    with Writer(buf, uncompressed=True, block_size=8 << 10) as w:
+        w.write(twain)
+    raw = buf.getvalue()
+    assert raw.count(b"\x01") >= 1  # uncompressed chunks present
+    assert Reader(io.BytesIO(raw)).readall() == twain
+
+    calls = []
+
+    def custom(src, level):
+        calls.append(len(src))
+        return None  # decline; writer falls back to the builtin encoder
+
+    buf = io.BytesIO()
+    with Writer(buf, custom_encoder=custom, block_size=8 << 10,
+                concurrency=1) as w:
+        w.write(twain)
+    assert calls, "custom encoder was not consulted"
+    assert Reader(io.BytesIO(buf.getvalue())).readall() == twain
+
+
+def test_reader_max_block_size_rejects(twain):
+    buf = io.BytesIO()
+    with Writer(buf, block_size=64 << 10) as w:
+        w.write(twain)
+    with pytest.raises(minlz.TooLargeError):
+        Reader(io.BytesIO(buf.getvalue()), max_block_size=16 << 10).readall()
+
+
+def test_user_chunk_roundtrip(twain):
+    buf = io.BytesIO()
+    with Writer(buf, add_index=False) as w:
+        w.write(twain[:1000])
+        w.add_user_chunk(0x90, b"metadata-payload")
+        w.write(twain[1000:])
+    seen = []
+    r = Reader(io.BytesIO(buf.getvalue()))
+    r.set_user_chunk_cb(0x90, seen.append)
+    assert r.readall() == twain
+    assert seen == [b"metadata-payload"]
+
+
+def test_flush_on_write_and_async_flush(twain):
+    buf = io.BytesIO()
+    w = Writer(buf, block_size=1 << 20, flush_on_write=True, add_index=False)
+    w.write(twain[:5000])
+    mid = len(buf.getvalue())
+    assert mid > 0  # flushed despite partial block
+    w.write(twain[5000:])
+    w.async_flush()
+    w.close()
+    assert Reader(io.BytesIO(buf.getvalue())).readall() == twain
