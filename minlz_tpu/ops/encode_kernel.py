@@ -50,10 +50,10 @@ _PRIME4 = np.uint32(2654435761)
 _MAX_OFFSET = (1 << 21) + 65535
 
 
-def _window_pass(keyflat, vals, M, W, shift, nback):
+def _window_pass(keyflat, vals, M, W, shift, nback, pos_bits=_POS_BITS):
     """One batched windowed-sort candidate pass over M samples.
 
-    keyflat: [1, M] int32 = hash << _POS_BITS (invalid samples pre-marked
+    keyflat: [1, M] int32 = hash << pos_bits (invalid samples pre-marked
     with a sentinel above every valid key); vals: co-verified value arrays
     ([1, M] int32 each) — a candidate requires equal hash AND equal values.
     Returns nback candidate arrays ([1, M] global sample index or -1): the
@@ -69,8 +69,8 @@ def _window_pass(keyflat, vals, M, W, shift, nback):
     )
     key_s = sorted_[0]
     vs_s = sorted_[1:]
-    pos_s = key_s & ((1 << _POS_BITS) - 1)
-    h_s = key_s >> _POS_BITS
+    pos_s = key_s & ((1 << pos_bits) - 1)
+    h_s = key_s >> pos_bits
     idx = jnp.arange(W)[None, :]
     cs = []
     for back in range(1, nback + 1):
@@ -137,11 +137,14 @@ def find_matches_dyn(data_flat, n, seg: int = SEG):
         | jnp.roll(d, -2, axis=1) << 16
         | jnp.roll(d, -3, axis=1) << 24
     )
-    h = ((v0 * _PRIME4) >> (32 - _HASH_BITS)).astype(jnp.int32)
+    # Level 0 uses 32KiB windows (hash16 | pos15 packs into int32) for 2x
+    # the exact-match reach of the strided levels' 16KiB sample windows.
+    W = 2 * WINDOW if N % (2 * WINDOW) == 0 else min(WINDOW, N)
+    pos_bits0 = W.bit_length() - 1 if W < 32768 else 15
+    h = ((v0 * _PRIME4) >> (32 - 16)).astype(jnp.int32)
     valid = pos <= n - 4
-    W = min(WINDOW, N)
-    sentinel = (1 << 31) - (1 << _POS_BITS)
-    keyflat = jnp.where(valid, (h << _POS_BITS), sentinel)
+    sentinel0 = (1 << 31) - (1 << pos_bits0)
+    keyflat = jnp.where(valid, (h << pos_bits0), sentinel0)
     v0i = v0.astype(jnp.int32)
 
     # Two passes (aligned + half-window shifted): short matches crossing
@@ -149,9 +152,11 @@ def find_matches_dyn(data_flat, n, seg: int = SEG):
     # strided levels (8-byte sampling rarely aligns on a <16-byte match),
     # so the shifted pass is worth its ~1.2ms — dropping it costs ~8 ratio
     # points on match-dense data (measured on the bench corpus).
-    cands = _window_pass(keyflat, [v0i], N, W, 0, nback=2)
+    cands = _window_pass(keyflat, [v0i], N, W, 0, nback=2,
+                         pos_bits=pos_bits0)
     if N > W:
-        cands += _window_pass(keyflat, [v0i], N, W, W // 2, nback=1)
+        cands += _window_pass(keyflat, [v0i], N, W, W // 2, nback=1,
+                              pos_bits=pos_bits0)
 
     for cand in cands:
         dist = jnp.where(cand >= 0, pos - cand, 0)
@@ -198,6 +203,7 @@ def find_matches_dyn(data_flat, n, seg: int = SEG):
         hs = hs.astype(jnp.int32)
         spos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (1, M))
         svalid = spos * stride + stride <= n
+        sentinel = (1 << 31) - (1 << _POS_BITS)
         keyflat = jnp.where(svalid, hs << _POS_BITS, sentinel)
         Ws = min(WINDOW, M)
         scands = _window_pass(keyflat, vals, M, Ws, 0, nback=1)
