@@ -57,6 +57,19 @@ def get_lib():
             lib.minlz_crc32c.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32,
             ]
+            if hasattr(lib, "minlz_huff0_decode_stream"):
+                lib.minlz_huff0_decode_stream.restype = ctypes.c_long
+                lib.minlz_huff0_decode_stream.argtypes = [
+                    ctypes.c_char_p, ctypes.c_size_t,
+                    ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+                    ctypes.c_char_p, ctypes.c_size_t,
+                ]
+                lib.minlz_huff0_encode_stream.restype = ctypes.c_long
+                lib.minlz_huff0_encode_stream.argtypes = [
+                    ctypes.c_char_p, ctypes.c_size_t,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_char_p, ctypes.c_size_t,
+                ]
             _lib = lib
         except Exception:
             _build_failed = True

@@ -231,8 +231,28 @@ def _build_dtable(weights):
 # Stream decode
 # ---------------------------------------------------------------------------
 
+def _native():
+    from ..native.build import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "minlz_huff0_decode_stream"):
+        return None
+    return lib
+
+
 def _decode_stream(dtable, data: bytes, out_len: int) -> bytearray:
     table_log, sym, nbits = dtable
+    lib = _native()
+    if lib is not None and data:
+        import ctypes
+
+        out = ctypes.create_string_buffer(max(out_len, 1))
+        rc = lib.minlz_huff0_decode_stream(
+            bytes(data), len(data), sym, nbits, table_log, out, out_len
+        )
+        if rc < 0:
+            raise Huff0Error("corrupt huff0 stream")
+        return bytearray(out.raw[:out_len])
     br = _BackwardBitReader(data)
     out = bytearray(out_len)
     for i in range(out_len):
@@ -358,6 +378,25 @@ def _build_ctable(lengths, max_sym):
 def _encode_stream(ctable, data: bytes) -> bytes:
     """Encode one stream: symbols pushed in reverse order, LSB-first bit
     accumulation, closed with a sentinel 1 bit."""
+    lib = _native()
+    if lib is not None and data:
+        import ctypes
+
+        vals = (ctypes.c_uint16 * 256)()
+        lens = (ctypes.c_uint8 * 256)()
+        for s, (v, n) in ctable.items():
+            vals[s] = v
+            lens[s] = n
+        cap = len(data) * 2 + 16
+        out = ctypes.create_string_buffer(cap)
+        rc = lib.minlz_huff0_encode_stream(
+            bytes(data), len(data), vals, lens, out, cap
+        )
+        if rc == -1:
+            raise KeyError("symbol missing from huff0 table")
+        if rc < 0:
+            raise Huff0Error("huff0 encode overflow")
+        return out.raw[:rc]
     acc = 0
     bits = 0
     out = bytearray()
@@ -610,15 +649,20 @@ def decode_4x_body(dtable, body: bytes, out_len: int) -> bytes:
     return bytes(out)
 
 
+def _count(data: bytes):
+    import numpy as np
+
+    return np.bincount(
+        np.frombuffer(data, np.uint8), minlength=256
+    ).tolist()
+
+
 def compress_4x(data: bytes):
     """Compress with one table + 4 streams.  Returns the huff0 payload
     (table + jump table + streams) or None when not compressible."""
     if len(data) < 8:
         return None
-    counts = [0] * 256
-    for b in data:
-        counts[b] += 1
-    built = build_ctable(counts)
+    built = build_ctable(_count(data))
     if built is None:
         return None
     header, ctable = built
@@ -634,10 +678,7 @@ def compress_4x(data: bytes):
 def compress_1x(data: bytes):
     if len(data) < 2:
         return None
-    counts = [0] * 256
-    for b in data:
-        counts[b] += 1
-    lengths = _code_lengths(counts)
+    lengths = _code_lengths(_count(data))
     if lengths is None:
         return None
     header = _marshal_weights(lengths, max(lengths.values()))
