@@ -72,6 +72,8 @@ class Writer:
         device: bool = False,
         parse_hints: bool | None = None,
         search_table=None,
+        sidecar=None,
+        padding_src=None,
         debug_validate: bool = False,
     ):
         if not MIN_BLOCK_SIZE <= block_size <= MAX_BLOCK_SIZE:
@@ -92,6 +94,14 @@ class Writer:
         self._search_cfg = search_table
         self._search_held = None  # raw block deferred for overlap indexing
         self._wrote_search_info = False
+        # Sidecar diversion (reference WriterSidecar/SetSidecar,
+        # writer.go:1409): search chunks go to this file-like object plus a
+        # remote block reference (0x47) per block; the main stream carries
+        # only data.
+        self._sidecar = sidecar
+        self._sidecar_started = False
+        self._padding_src = padding_src
+        self._last_data_off = 0  # main-stream offset of last data chunk
         # Decode every block right after encoding it and compare
         # (reference debugValidateBlocks, encode.go:108).
         self._debug_validate = debug_validate
@@ -254,6 +264,8 @@ class Writer:
             self._write_out(idx.marshal())
         if self._padding > 1:
             self._emit_padding()
+        if self._sidecar is not None and self._sidecar_started:
+            self._sidecar.write(bytes([CHUNK_TYPE_EOF, 0, 0, 0]))
         self._closed = True
         if self._pool:
             self._pool.shutdown(wait=False)
@@ -291,10 +303,18 @@ class Writer:
             # (SPEC_SEARCH.md B.1).
             if not self._wrote_search_info:
                 self._wrote_search_info = True
-                self._drain()
-                self._write_out(
-                    self._search_cfg.marshal_info(self._block_size)
-                )
+                info = self._search_cfg.marshal_info(self._block_size)
+                if self._sidecar is not None:
+                    if not self._sidecar_started:
+                        self._sidecar_started = True
+                        size_ind = _block_size_log(self._block_size) - 10
+                        self._sidecar.write(
+                            MAGIC_CHUNK + bytes([size_ind])
+                        )
+                    self._sidecar.write(info)
+                else:
+                    self._drain()
+                    self._write_out(info)
             held = self._search_held
             self._search_held = data
             if held is None:
@@ -313,20 +333,39 @@ class Writer:
                            with_table: bool = True):
         from ..search.build import build_table
 
+        table_chunk = None
         if with_table:
             res = build_table(
                 data, self._search_cfg, overlap, self._block_size
             )
             if res is not None:
                 table, reductions = res
-                self._drain()
-                self._write_out(
-                    self._search_cfg.marshal_table(
-                        self._block_size, table, reductions
-                    )
+                table_chunk = self._search_cfg.marshal_table(
+                    self._block_size, table, reductions
                 )
+        if self._sidecar is None:
+            if table_chunk is not None:
+                self._drain()
+                self._write_out(table_chunk)
+            self._submit_block_inner(data)
+            self._drain()
+            return
+        # Sidecar mode: table + remote block ref go to the sidecar; the
+        # main stream gets only the data chunk.
+        if table_chunk is not None:
+            self._sidecar.write(table_chunk)
         self._submit_block_inner(data)
         self._drain()
+        from ..minlz import CHUNK_TYPE_REMOTE_BLOCK_REF
+
+        payload = put_uvarint(self._last_data_off) + put_uvarint(
+            max(self._block_size - len(data), 0)
+        )
+        self._sidecar.write(
+            bytes([CHUNK_TYPE_REMOTE_BLOCK_REF])
+            + len(payload).to_bytes(3, "little")
+            + payload
+        )
 
     def _submit_block_inner(self, data: bytes):
         uoff = self._written_in
@@ -396,6 +435,12 @@ class Writer:
         chunk = item.result() if hasattr(item, "result") else item
         if self._index is not None:
             self._index.add(self._written_out, uoff)
+        # Offset of the data chunk itself (skipping a parse-hint prefix).
+        self._last_data_off = self._written_out
+        from ..minlz import CHUNK_TYPE_PARSE_HINT
+
+        if chunk[:1] == bytes([CHUNK_TYPE_PARSE_HINT]):
+            self._last_data_off += 4 + int.from_bytes(chunk[1:4], "little")
         self._write_out(chunk)
 
     def _drain(self):
@@ -415,7 +460,13 @@ class Writer:
             return
         if pad < 4:
             pad += self._padding
-        payload = bytes(pad - 4)
+        if self._padding_src is not None:
+            # Reference WriterPaddingSrc: caller supplies padding bytes
+            # (e.g. random, to obscure compressed sizes).
+            payload = bytes(self._padding_src(pad - 4))[: pad - 4]
+            payload += bytes(pad - 4 - len(payload))
+        else:
+            payload = bytes(pad - 4)
         self._emit_raw_chunk(CHUNK_TYPE_PADDING, payload)
 
     def _write_out(self, data: bytes):

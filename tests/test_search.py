@@ -365,3 +365,61 @@ def test_device_table_builder_matches_host(twain):
             table, red = res
             assert red == 0
             assert dev[i].tobytes() == table, (m, bits, i)
+
+
+def test_writer_sidecar_diversion(twain):
+    """Writer(sidecar=...) keeps the main stream data-only and builds a
+    searchable sidecar inline (reference WriterSidecar, writer.go:1409)."""
+    from minlz_tpu.search.sidecar import SidecarSearcher
+    from minlz_tpu.stream import Reader
+
+    data = twain * 8
+    cfg = SearchTableConfig(match_len=6, table_bits=17)
+    cfg.max_reduced_population = 0.0
+    main = io.BytesIO()
+    side = io.BytesIO()
+    with Writer(main, block_size=16 << 10, add_index=False,
+                search_table=cfg, sidecar=side, concurrency=1) as w:
+        w.write(data)
+    raw = main.getvalue()
+    # Main stream carries no search chunks and decodes normally.
+    assert bytes([0x45]) not in raw[:1] and Reader(io.BytesIO(raw)).readall() == data
+    pos = 0
+    while pos + 4 <= len(raw):
+        assert raw[pos] not in (0x44, 0x45, 0x46, 0x47)
+        pos += 4 + int.from_bytes(raw[pos + 1 : pos + 4], "little")
+    sc = side.getvalue()
+    assert sc and sc[0] == 0xFF and bytes([0x47]) in sc
+
+    pattern = b"Tom Sawyer"
+    want = []
+    start = 0
+    while True:
+        j = data.find(pattern, start)
+        if j < 0:
+            break
+        want.append(j)
+        start = j + 1
+    s = SidecarSearcher(io.BytesIO(sc), io.BytesIO(raw), pattern)
+    got = [r.offset for r in s.search()]
+    assert got == want
+
+
+def test_padding_src(twain):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    calls = []
+
+    def src(n):
+        calls.append(n)
+        return rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+
+    from minlz_tpu.stream import Reader
+
+    buf = io.BytesIO()
+    with Writer(buf, padding=8192, padding_src=src, add_index=False) as w:
+        w.write(twain)
+    raw = buf.getvalue()
+    assert len(raw) % 8192 == 0 and calls
+    assert Reader(io.BytesIO(raw)).readall() == twain
