@@ -31,6 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CORPUS_MB = int(os.environ.get("MINLZ_BENCH_MB", "8"))
 ITERS = int(os.environ.get("MINLZ_BENCH_ITERS", "4"))
+# MINLZ_PROFILE=<dir>: capture a jax.profiler trace of the device phases
+# (the reference CLI's -cpuprof/-traceprof analog; view with tensorboard).
+PROFILE_DIR = os.environ.get("MINLZ_PROFILE")
 BASELINE_COMBINED_GBPS = 1.0 / (1.0 / 1.0 + 1.0 / 2.0)  # 0.667
 
 
@@ -155,8 +158,16 @@ def main():
         dist, _ = ek.find_matches_dyn(flat, block_size, seg)
         return dist
 
+    import contextlib
+
+    prof = (
+        jax.profiler.trace(PROFILE_DIR)
+        if PROFILE_DIR
+        else contextlib.nullcontext()
+    )
     enc_fn = jax.jit(enc_step)
-    t_enc_dev, _ = timed_device(enc_fn, (data_dev[0],), ITERS)
+    with prof:
+        t_enc_dev, _ = timed_device(enc_fn, (data_dev[0],), ITERS)
     t_enc_dev_total = t_enc_dev * n_blocks
 
     # ---------------- Encode host phase (parse + serialization) -----------
