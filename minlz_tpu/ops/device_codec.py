@@ -80,6 +80,18 @@ class DeviceCodec:
         # caller; here return the full block plus the hint payload.
         return block, marshal_hints(self._enc.SEG, hints)
 
+    def encode_batch(self, blocks, level: int = 1):
+        """Encode many blocks with one device dispatch.  Returns a list of
+        (block, hint_payload) | None entries, aligned with the input."""
+        results = self._enc.encode_blocks_device([bytes(b) for b in blocks])
+        out = []
+        for block, hints in results:
+            if block is None:
+                out.append(None)
+            else:
+                out.append((block, marshal_hints(self._enc.SEG, hints)))
+        return out
+
     def decode(self, body: bytes, hint_payload: bytes, decoded_len: int):
         seg_size, offs = parse_hints(hint_payload)
         if seg_size != self._dec.SEG_OUT:

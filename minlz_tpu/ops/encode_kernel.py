@@ -438,6 +438,55 @@ def serialize_segment(src: bytes, take, tok_off, tok_len, is_rep) -> bytes:
     return bytes(dst)
 
 
+@functools.partial(jax.jit, static_argnames=("seg",))
+def _find_matches_batch(data_u8, ns, seg: int = SEG):
+    """vmapped match finding over [B, N] blocks with per-block valid
+    lengths — one device dispatch for a whole batch of stream blocks."""
+
+    def one(d, n):
+        dist, _ = find_matches_dyn(d[None, :].astype(jnp.int32), n, seg)
+        return dist[0]
+
+    return jax.vmap(one)(data_u8, ns)
+
+
+def encode_blocks_device(blocks, seg: int = SEG):
+    """Encode a batch of blocks with ONE device dispatch (the stream
+    writer's batching path; replaces per-block dispatches).
+
+    Returns a list of (block_bytes, hints) tuples ((None, None) entries
+    for incompressible blocks)."""
+    if not blocks:
+        return []
+    N = max(len(b) for b in blocks)
+    N = max(-(-N // (2 * WINDOW)) * (2 * WINDOW), 2 * WINDOW)
+    arr = np.zeros((len(blocks), N), np.uint8)
+    ns = np.zeros(len(blocks), np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+        ns[i] = len(b)
+    dists = np.asarray(_find_matches_batch(jnp.asarray(arr), jnp.asarray(ns),
+                                           seg))
+    from ..native.codec import get_codec
+
+    codec = get_codec()
+    if codec is None:
+        # No native toolchain: per-block slow path (oracle serializer).
+        return [encode_block_device(b, seg) for b in blocks]
+    out = []
+    for i, b in enumerate(blocks):
+        res = codec.parse_serialize(b, dists[i, : len(b)], seg)
+        if res is None:
+            out.append((None, None))
+            continue
+        body, hints = res
+        if len(body) >= len(b):
+            out.append((None, None))
+        else:
+            out.append((b"\x00" + put_uvarint(len(b)) + body, hints))
+    return out
+
+
 def encode_block_device(data: bytes, seg: int = SEG):
     """Encode one block as concatenated segments with a shared match window.
 

@@ -111,6 +111,10 @@ class Writer:
             self._device_codec = get_device_codec()
         else:
             self._device_codec = None
+        # Device blocks are encoded in batches of this many per dispatch
+        # (amortizes kernel launch; blocks stay in submission order).
+        self._dev_batch = []
+        self._dev_batch_size = 4
         if concurrency is None:
             concurrency = min(os.cpu_count() or 1, 8)
         self._concurrency = max(1, concurrency)
@@ -370,6 +374,15 @@ class Writer:
     def _submit_block_inner(self, data: bytes):
         uoff = self._written_in
         self._written_in += len(data)
+        if (
+            self._device_codec is not None
+            and self._custom_encoder is None
+            and not self._uncompressed_only
+        ):
+            self._dev_batch.append((data, uoff))
+            if len(self._dev_batch) >= self._dev_batch_size:
+                self._flush_dev_batch()
+            return
         if self._pool is not None and self._backend is None:
             fut = self._pool.submit(self._encode_one, data)
             self._pending.append((fut, len(data), uoff))
@@ -443,7 +456,51 @@ class Writer:
             self._last_data_off += 4 + int.from_bytes(chunk[1:4], "little")
         self._write_out(chunk)
 
+    def _flush_dev_batch(self):
+        if not self._dev_batch:
+            return
+        batch = self._dev_batch
+        self._dev_batch = []
+        results = self._device_codec.encode_batch(
+            [d for d, _ in batch], self._level
+        )
+        from ..minlz import CHUNK_TYPE_PARSE_HINT
+
+        for (data, uoff), res in zip(batch, results):
+            c = crc(data)
+            if res is None:
+                payload = c.to_bytes(4, "little") + data
+                ctype = CHUNK_TYPE_UNCOMPRESSED_DATA
+                hint_chunk = b""
+            else:
+                block, hint_payload = res
+                comp = block[1:]  # strip the 0x00 MinLZ marker
+                if len(comp) >= len(data):
+                    payload = c.to_bytes(4, "little") + data
+                    ctype = CHUNK_TYPE_UNCOMPRESSED_DATA
+                    hint_chunk = b""
+                else:
+                    payload = c.to_bytes(4, "little") + comp
+                    ctype = CHUNK_TYPE_MINLZ_COMPRESSED
+                    hint_chunk = b""
+                    if self._parse_hints:
+                        hint_chunk = (
+                            bytes([CHUNK_TYPE_PARSE_HINT])
+                            + len(hint_payload).to_bytes(3, "little")
+                            + hint_payload
+                        )
+            if self._index is not None:
+                self._index.add(self._written_out, uoff)
+            self._last_data_off = self._written_out + len(hint_chunk)
+            self._write_out(
+                hint_chunk
+                + bytes([ctype])
+                + len(payload).to_bytes(3, "little")
+                + payload
+            )
+
     def _drain(self):
+        self._flush_dev_batch()
         while self._pending:
             self._drain_one()
 
