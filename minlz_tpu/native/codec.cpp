@@ -540,6 +540,26 @@ long encode_balanced(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
       }
     }
     if (best_len >= 4) {
+      // Lazy lookahead: a strictly better match one byte ahead wins.
+      if (best_len < 32 && s + 1 <= s_limit) {
+        uint64_t cv1 = load64(src + s + 1);
+        uint32_t hl1 = hash8(cv1, lbits);
+        uint32_t hs1 = hash4((uint32_t)cv1, sbits);
+        size_t c1 = longT[hl1], c1s = shortT[hs1];
+        size_t l1 = 0;
+        if (c1 && s + 1 - c1 <= kMaxOffset &&
+            load32(src + c1) == (uint32_t)cv1)
+          l1 = 4 + match_len(src + s + 5, src + c1 + 4, n - s - 5);
+        if (c1s && s + 1 - c1s <= kMaxOffset &&
+            load32(src + c1s) == (uint32_t)cv1) {
+          size_t l1s = 4 + match_len(src + s + 5, src + c1s + 4, n - s - 5);
+          if (l1s > l1) l1 = l1s;
+        }
+        if (l1 > best_len + 1) {
+          s++;
+          continue;  // the next iteration re-probes (and re-inserts) s+1
+        }
+      }
       size_t base = s, cand = best_cand;
       while (base > next_emit && cand > 0 && src[base - 1] == src[cand - 1]) {
         base--;
