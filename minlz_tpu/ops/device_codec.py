@@ -99,7 +99,7 @@ class DeviceCodec:
                 f"hint segment size {seg_size} != kernel {self._dec.SEG_OUT}"
             )
         segs = split_body(body, offs)
-        max_lanes = self._dec.B_LANES
+        max_lanes = 512  # decode_block_tpu scales its lane count to this
         if len(segs) <= max_lanes:
             return self._dec.decode_block_tpu(segs, decoded_len)
         # Large blocks: decode in lane-sized sub-batches.  Cross-batch

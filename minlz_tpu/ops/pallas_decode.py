@@ -53,64 +53,69 @@ def _interpret() -> bool:
 # Phase 1: parse
 # --------------------------------------------------------------------------
 
-def _parse_kernel(lens_ref, comp_ref, kind_ref, dst_ref, clen_ref, csrc_ref,
-                  lsrc_ref, llen_ref, state_ref):
-    t = pl.program_id(0)
+def _make_parse_kernel(sub: int):
+    def _parse_kernel(lens_ref, comp_ref, kind_ref, dst_ref, clen_ref,
+                      csrc_ref, lsrc_ref, llen_ref, state_ref):
+        t = pl.program_id(0)
 
-    @pl.when(t == 0)
-    def _init():
+        @pl.when(t == 0)
+        def _init():
+            for i, f in enumerate(STATE_FIELDS):
+                init = 1 if f == "rep" else 0
+                state_ref[i] = jnp.full((sub, 128), init, jnp.int32)
+
+        st = {f: state_ref[i] for i, f in enumerate(STATE_FIELDS)}
+        lens = lens_ref[0]
+
+        def body(r, st):
+            row = t * ROW_TILE + r
+            word = comp_ref[r >> 2]
+            byte = (word >> ((row & 3) * 8)) & 255
+            active = row < lens
+            flush = row == lens  # trailing held-literal flush row
+            st, (opk, opd, opcl, opcs, opls, opll) = parse_step(
+                st, byte, active, row, flush
+            )
+            kind_ref[r] = opk
+            dst_ref[r] = opd
+            clen_ref[r] = opcl
+            csrc_ref[r] = opcs
+            lsrc_ref[r] = opls
+            llen_ref[r] = opll
+            return st
+
+        st = jax.lax.fori_loop(0, ROW_TILE, body, st)
         for i, f in enumerate(STATE_FIELDS):
-            init = 1 if f == "rep" else 0
-            state_ref[i] = jnp.full((SUB, 128), init, jnp.int32)
+            state_ref[i] = st[f]
 
-    st = {f: state_ref[i] for i, f in enumerate(STATE_FIELDS)}
-    lens = lens_ref[0]
-
-    def body(r, st):
-        row = t * ROW_TILE + r
-        word = comp_ref[r >> 2]
-        byte = (word >> ((row & 3) * 8)) & 255
-        active = row < lens
-        flush = row == lens  # trailing held-literal flush row
-        st, (opk, opd, opcl, opcs, opls, opll) = parse_step(
-            st, byte, active, row, flush
-        )
-        kind_ref[r] = opk
-        dst_ref[r] = opd
-        clen_ref[r] = opcl
-        csrc_ref[r] = opcs
-        lsrc_ref[r] = opls
-        llen_ref[r] = opll
-        return st
-
-    st = jax.lax.fori_loop(0, ROW_TILE, body, st)
-    for i, f in enumerate(STATE_FIELDS):
-        state_ref[i] = st[f]
+    return _parse_kernel
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))
 def parse_segments_pallas(comp_words, lens, n_rows: int):
-    """comp_words: [n_rows//4, SUB, 128] int32 packed bytes (column-major
-    per lane).  lens: [SUB, 128] compressed byte counts — every count must
-    be < n_rows so each lane gets its flush row.  Returns 6 op arrays
-    [n_rows, SUB, 128] (kind, dst, clen, csrc, lsrc, llen)."""
+    """comp_words: [n_rows//4, sub, 128] int32 packed bytes (column-major
+    per lane; sub = lens.shape[0], lanes = sub*128).  lens: [sub, 128]
+    compressed byte counts — every count must be < n_rows so each lane
+    gets its flush row.  Returns 6 op arrays [n_rows, sub, 128]
+    (kind, dst, clen, csrc, lsrc, llen)."""
+    sub = lens.shape[0]
     grid = (n_rows // ROW_TILE,)
-    out_shape = jax.ShapeDtypeStruct((n_rows, SUB, 128), jnp.int32)
+    out_shape = jax.ShapeDtypeStruct((n_rows, sub, 128), jnp.int32)
     kernel = pl.pallas_call(
-        _parse_kernel,
+        _make_parse_kernel(sub),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, SUB, 128), lambda t: (0, 0, 0),
+            pl.BlockSpec((1, sub, 128), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_TILE // 4, SUB, 128), lambda t: (t, 0, 0),
+            pl.BlockSpec((ROW_TILE // 4, sub, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ROW_TILE, SUB, 128), lambda t: (t, 0, 0),
+            pl.BlockSpec((ROW_TILE, sub, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM)
         ] * 6,
         out_shape=[out_shape] * 6,
-        scratch_shapes=[pltpu.VMEM((_N_FIELDS, SUB, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((_N_FIELDS, sub, 128), jnp.int32)],
         interpret=_interpret(),
     )
     return kernel(lens[None], comp_words)
@@ -163,7 +168,7 @@ def _make_exec_kernel(seg_rows: int, comp_rows_per_lane: int):
             a = ops_ref[i * 3]
             b = ops_ref[i * 3 + 1]
             c = ops_ref[i * 3 + 2]
-            lane = (b >> 22) & 255
+            lane = (b >> 22) & 1023
             # Record = fused literal run (llen bytes from the lane's
             # compressed stream) followed by a copy (clen from csrc back).
             gd0 = lane * (seg_rows * 128) + (a & 4095)
@@ -273,7 +278,7 @@ def execute_ops_pallas(ops, n_real, comp_bytes, n_ops: int, pc: int,
     op count.  comp_bytes: [B*pc/128, 128] int32.  Returns out
     [n_out_rows, 128] int32 bytes."""
     grid = (n_ops // OP_TILE,)
-    n_crows = B_LANES * pc // 128
+    n_crows = comp_bytes.shape[0]
     ops = ops.reshape(-1)
     count = jnp.asarray(n_real, jnp.int32).reshape(1)
     kernel = pl.pallas_call(
@@ -358,13 +363,14 @@ def compact_ops(kind, dst, clen, csrc, lsrc, llen, max_ops: int):
     kind<<25; word B = csrc | lane<<22 (csrc <= 2,162,687 < 2^22);
     word C = lsrc | llen<<13."""
     P = kind.shape[0]
+    lanes = kind.shape[1] * 128
 
     def lane_major(x):
         return x.reshape(P, -1).T.reshape(-1)
 
     k = lane_major(kind)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B_LANES, P), 0).reshape(-1)
-    L = B_LANES * P
+    lane = jax.lax.broadcasted_iota(jnp.int32, (lanes, P), 0).reshape(-1)
+    L = lanes * P
     a = lane_major(dst) | (lane_major(clen) << 12) | (k << 25)
     b = lane_major(csrc) | (lane << 22)
     c = lane_major(lsrc) | (lane_major(llen) << 13)
@@ -431,17 +437,21 @@ def decode_block_tpu(seg_bytes_list, out_total: int, seg: int = SEG_OUT):
     are executed in order).  Returns the decoded block bytes.
     """
     nseg = len(seg_bytes_list)
-    if nseg > B_LANES:
-        raise ValueError(f"{nseg} segments exceed {B_LANES} lanes per batch")
+    # Lane count scales with the block: 256 lanes (1MiB blocks) or 512
+    # (2MiB, the stream default); larger blocks fall back to the host.
+    sub = 2 if nseg <= 256 else 4
+    lanes = sub * 128
+    if nseg > lanes:
+        raise ValueError(f"{nseg} segments exceed {lanes} lanes per batch")
     pc_data = max(len(sb) for sb in seg_bytes_list)
     # Strictly more rows than the longest segment: every lane needs its
     # flush row (row == len) for trailing held literals.
     n_rows = -(-(pc_data + 1) // ROW_TILE) * ROW_TILE
     pc = n_rows + MARGIN
 
-    lens = np.zeros((SUB, 128), np.int32)
-    comp = np.zeros((n_rows, B_LANES), np.uint8)
-    comp_flat = np.zeros((B_LANES, pc), np.int32)
+    lens = np.zeros((sub, 128), np.int32)
+    comp = np.zeros((n_rows, lanes), np.uint8)
+    comp_flat = np.zeros((lanes, pc), np.int32)
     for i, sb in enumerate(seg_bytes_list):
         a = np.frombuffer(bytes(sb), np.uint8)
         comp[: len(a), i] = a
@@ -450,7 +460,7 @@ def decode_block_tpu(seg_bytes_list, out_total: int, seg: int = SEG_OUT):
 
     # Pack 4 bytes per int32 word for the parse kernel.
     words = (
-        comp.reshape(n_rows // 4, 4, SUB, 128).astype(np.int32)
+        comp.reshape(n_rows // 4, 4, sub, 128).astype(np.int32)
         * (1 << (8 * np.arange(4, dtype=np.int32)))[None, :, None, None]
     ).sum(axis=1)
 
@@ -462,7 +472,7 @@ def decode_block_tpu(seg_bytes_list, out_total: int, seg: int = SEG_OUT):
     # Op bound: a copy needs >=2 compressed bytes and literal runs cannot be
     # adjacent, so ops <= comp_bytes/2 + segments.
     bound = total_comp // 2 + len(seg_bytes_list) + 1
-    max_ops = -(-min(bound, n_rows * B_LANES) // OP_TILE) * OP_TILE
+    max_ops = -(-min(bound, n_rows * lanes) // OP_TILE) * OP_TILE
     max_ops = max(max_ops, OP_TILE)
     packed, n_real = compact_ops(*emits, max_ops)
 
