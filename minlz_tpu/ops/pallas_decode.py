@@ -264,6 +264,8 @@ def _make_exec_kernel(seg_rows: int, comp_rows_per_lane: int):
         # single scalar compare each.
         t = pl.program_id(0)
         todo = jnp.clip(count_ref[0] - t * OP_TILE, 0, OP_TILE)
+        # NOTE: Mosaic's fori_loop supports only unroll=1 or full unroll,
+        # so cross-op ILP via partial unrolling is not available here.
         jax.lax.fori_loop(0, todo, do_op, 0)
 
     return _exec_kernel

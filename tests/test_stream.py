@@ -345,3 +345,50 @@ def test_flush_on_write_and_async_flush(twain):
     w.async_flush()
     w.close()
     assert Reader(io.BytesIO(buf.getvalue())).readall() == twain
+
+
+def test_index_reduce_caps_entries(twain):
+    """Indexes decimate to the entry cap like the reference (index.go:147)."""
+    from minlz_tpu.stream.index import Index
+
+    idx = Index()
+    # Feed far more entries than the cap with >=1MB spacing.
+    for i in range(300000):
+        idx.add(i * 1200, i * (1 << 20))
+    assert len(idx.info) <= 65536
+    # Entries remain monotone and findable.
+    idx.total_uncompressed = 300000 << 20
+    idx.total_compressed = 300000 * 1200
+    coff, uoff = idx.find(12345 << 20)
+    assert uoff <= 12345 << 20
+
+
+def test_concatenated_streams_and_seek(twain):
+    buf = io.BytesIO()
+    with Writer(buf, block_size=8 << 10, add_index=False) as w:
+        w.write(twain)
+    one = buf.getvalue()
+    triple = one * 3
+    assert Reader(io.BytesIO(triple)).readall() == twain * 3
+
+
+def test_read_seeker_matrix(twain):
+    data = twain * 10
+    buf = io.BytesIO()
+    with Writer(buf, block_size=8 << 10) as w:
+        w.encode_buffer(data)
+    raw = buf.getvalue()
+    rs = ReadSeeker(io.BytesIO(raw))
+    import random
+
+    rnd = random.Random(9)
+    for _ in range(20):
+        off = rnd.randrange(0, len(data) - 100)
+        rs.seek(off)
+        assert rs.read(100) == data[off : off + 100], off
+    # whence modes
+    rs.seek(-50, 2)
+    assert rs.read(50) == data[-50:]
+    rs.seek(1000)
+    rs.seek(500, 1)
+    assert rs.read(10) == data[1500:1510]
