@@ -95,6 +95,12 @@ def cmd_compress(args) -> int:
             out = blockapi.encode(data, level)
             opath = _out_path(path, ".mzb", args.output)
         else:
+            search_cfg = None
+            if args.search or args.search_len != 6:
+                from .search import SearchTableConfig
+
+                search_cfg = SearchTableConfig(match_len=args.search_len)
+                search_cfg.compression = args.search_compress
             buf = io.BytesIO()
             with Writer(
                 buf,
@@ -103,6 +109,7 @@ def cmd_compress(args) -> int:
                 add_index=args.index,
                 padding=args.pad,
                 device=args.device,
+                search_table=search_cfg,
             ) as w:
                 w.encode_buffer(data)
             out = buf.getvalue()
@@ -521,6 +528,14 @@ def main(argv=None) -> int:
     pc.add_argument("-pad", type=int, default=0)
     pc.add_argument("-recomp", action="store_true",
                     help="recompress MinLZ/Snappy input")
+    pc.add_argument("-search", action="store_true",
+                    help="embed per-block search tables")
+    pc.add_argument("-search.len", dest="search_len", type=int, default=6,
+                    help="search table match length (1-8)")
+    pc.add_argument("-search.compress", dest="search_compress",
+                    action="store_true", default=True)
+    pc.add_argument("-search.no-compress", dest="search_compress",
+                    action="store_false")
     pc.add_argument("-device", action="store_true", help="TPU encode path")
     pc.add_argument("-o", dest="output")
     pc.add_argument("files", nargs="+")

@@ -97,3 +97,13 @@ def test_glob_expansion(workdir, capsys):
     rc, _, _ = run(["c", "**/*.txt"], capsys)
     assert rc == 0
     assert (workdir / "sub" / "a.txt.mz").exists()
+
+
+def test_compress_with_search_tables(workdir, capsys):
+    rc, _, _ = run(["c", "-search", "-bs", "16384", "t.txt"], capsys)
+    assert rc == 0
+    raw = (workdir / "t.txt.mz").read_bytes()
+    # Search info chunk (0x44) plus at least one table chunk present.
+    assert bytes([0x44]) == raw[10:11] or b"\x44" in raw[:64]
+    rc, out, _ = run(["s", "-q", "Tom Sawyer", "t.txt.mz"], capsys)
+    assert rc == 0
