@@ -107,3 +107,52 @@ def test_sharded_decode_parse_matches_unsharded(twain):
     ref = parse_segments_scan(np.asarray(m0), np.asarray(l0))
     got_kind = kinds[0][: ref[0].shape[0], :1]
     assert (np.asarray(ref[0]) == got_kind).all()
+
+
+def test_sharded_encode_pipeline_roundtrip(twain):
+    """The mesh encode step's sharded parse must serialize into valid
+    MinLZ blocks, and its collective size-scan must be consistent."""
+    import jax
+    import numpy as np
+
+    from minlz_tpu.minlz import put_uvarint
+    from minlz_tpu.oracle import decode as odec
+    from minlz_tpu.ops.encode_kernel import serialize_block
+    from minlz_tpu.parallel import make_mesh, sharded_pipeline_step
+
+    n_dev = len(jax.devices())
+    nb = n_dev * 2
+    bs = 16384
+    seg = 4096
+    rng = np.random.default_rng(21)
+    blocks = []
+    for i in range(nb):
+        start = int(rng.integers(0, len(twain) - 4000))
+        blocks.append((twain[start : start + 4000] * 8)[:bs])
+    data = np.zeros((nb, bs), np.int32)
+    for i, b in enumerate(blocks):
+        data[i] = np.frombuffer(b, np.uint8)
+    valid = np.full((nb,), bs, np.int32)
+
+    mesh = make_mesh()
+    take, tok_off, tok_len, est, offs = sharded_pipeline_step(
+        mesh, data, valid, seg
+    )
+    take = np.asarray(take)
+    tok_off = np.asarray(tok_off)
+    tok_len = np.asarray(tok_len)
+    offs = np.asarray(offs)
+    est = np.asarray(est)
+    assert (np.diff(offs) == est[:-1]).all()
+
+    # Serialize each block from the sharded parse and roundtrip-check.
+    for i, b in enumerate(blocks):
+        pos = np.nonzero(take[i].reshape(-1))[0].astype(np.int32)
+        offv = tok_off[i].reshape(-1)[pos]
+        lnv = tok_len[i].reshape(-1)[pos]
+        isrep = np.zeros_like(pos)
+        body, hints = serialize_block(
+            b, pos, offv, lnv, isrep, len(pos), seg
+        )
+        blk = b"\x00" + put_uvarint(len(b)) + body
+        assert odec.decode_block(blk) == b, f"block {i}"
