@@ -72,36 +72,56 @@ class DeviceCodec:
         self._enc = encode_kernel
         self._dec = pallas_decode
 
+    @staticmethod
+    def _seg_for(n: int) -> int:
+        """Segment size scaling: <=2MiB blocks use 4KiB segments (256-512
+        lanes); bigger blocks grow segments so 8MiB still fits 512 lanes."""
+        seg = 4096
+        while n > seg * 512:
+            seg *= 2
+        return seg
+
     def encode(self, data: bytes, level: int = 1):
-        block, hints = self._enc.encode_block_device(bytes(data))
+        seg = self._seg_for(len(data))
+        block, hints = self._enc.encode_block_device(bytes(data), seg)
         if block is None:
             return None
         # Strip the 0x00 marker + uvarint for stream framing is done by the
         # caller; here return the full block plus the hint payload.
-        return block, marshal_hints(self._enc.SEG, hints)
+        return block, marshal_hints(seg, hints)
 
     def encode_batch(self, blocks, level: int = 1):
         """Encode many blocks with one device dispatch.  Returns a list of
         (block, hint_payload) | None entries, aligned with the input."""
-        results = self._enc.encode_blocks_device([bytes(b) for b in blocks])
+        seg = self._seg_for(max(len(b) for b in blocks))
+        results = self._enc.encode_blocks_device(
+            [bytes(b) for b in blocks], seg
+        )
         out = []
         for block, hints in results:
             if block is None:
                 out.append(None)
             else:
-                out.append((block, marshal_hints(self._enc.SEG, hints)))
+                out.append((block, marshal_hints(seg, hints)))
         return out
 
     def decode(self, body: bytes, hint_payload: bytes, decoded_len: int):
         seg_size, offs = parse_hints(hint_payload)
-        if seg_size != self._dec.SEG_OUT:
+        if seg_size % 128 or not 4096 <= seg_size <= (1 << 20):
             raise CorruptError(
-                f"hint segment size {seg_size} != kernel {self._dec.SEG_OUT}"
+                f"unsupported hint segment size {seg_size}"
             )
         segs = split_body(body, offs)
-        max_lanes = 512  # decode_block_tpu scales its lane count to this
-        if len(segs) <= max_lanes:
-            return self._dec.decode_block_tpu(segs, decoded_len)
+        # VMEM budget: the executor holds the whole decoded block as int32
+        # rows plus the compressed lanes (~5x the block size); ~1MiB output
+        # is the practical ceiling on 16MB-VMEM parts.  Bigger blocks take
+        # the host codec.  (Roadmap: int8 output storage lifts this 4x.)
+        import jax
+
+        max_out = (1 << 20) if jax.default_backend() == "tpu" else (2 << 20)
+        max_lanes = 512
+        if len(segs) <= max_lanes and decoded_len <= max_out:
+            return self._dec.decode_block_tpu(segs, decoded_len, seg_size)
         # Large blocks: decode in lane-sized sub-batches.  Cross-batch
         # back-references require earlier output; for now route oversized
         # blocks to the host codec.

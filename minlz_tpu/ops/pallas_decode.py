@@ -440,11 +440,14 @@ def decode_block_tpu(seg_bytes_list, out_total: int, seg: int = SEG_OUT):
     """
     nseg = len(seg_bytes_list)
     # Lane count scales with the block: 256 lanes (1MiB blocks) or 512
-    # (2MiB, the stream default); larger blocks fall back to the host.
+    # (2MiB); larger blocks fall back to the host.
     sub = 2 if nseg <= 256 else 4
     lanes = sub * 128
     if nseg > lanes:
         raise ValueError(f"{nseg} segments exceed {lanes} lanes per batch")
+    if seg > 4096:
+        # Op-word packing allots 12 bits to segment-local offsets.
+        raise ValueError(f"segment size {seg} exceeds the 4KiB op packing")
     pc_data = max(len(sb) for sb in seg_bytes_list)
     # Strictly more rows than the longest segment: every lane needs its
     # flush row (row == len) for trailing held literals.

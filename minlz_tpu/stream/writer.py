@@ -78,6 +78,11 @@ class Writer:
     ):
         if not MIN_BLOCK_SIZE <= block_size <= MAX_BLOCK_SIZE:
             raise ValueError(f"block_size {block_size} out of range 4KiB..8MiB")
+        if device and block_size == DEFAULT_BLOCK_SIZE:
+            # Device-friendly geometry: 1MiB blocks decode fully on-chip
+            # (the executor holds the whole block in VMEM); explicit
+            # block_size choices are honored as-is.
+            block_size = 1 << 20
         if padding < 0 or padding > (4 << 20):
             raise ValueError("padding must be 0..4MiB")
         self._dst = dst
