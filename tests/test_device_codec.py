@@ -156,3 +156,51 @@ def test_sharded_encode_pipeline_roundtrip(twain):
         )
         blk = b"\x00" + put_uvarint(len(b)) + body
         assert odec.decode_block(blk) == b, f"block {i}"
+
+
+def test_device_roundtrip_fuzz(twain):
+    """Randomized structure fuzz through the full device encode+decode
+    pipeline (reference FuzzEncodingBlocks analog for the device path)."""
+    import numpy as np
+
+    from minlz_tpu.minlz import read_uvarint
+    from minlz_tpu.ops.device_codec import get_device_codec, parse_hints, split_body
+    from minlz_tpu.ops.pallas_decode import decode_block_tpu
+
+    rng = np.random.default_rng(99)
+    codec = get_device_codec()
+    cases = []
+    for trial in range(12):
+        kind = trial % 6
+        n = int(rng.integers(5000, 90000))
+        if kind == 0:  # random bytes (incompressible)
+            d = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        elif kind == 1:  # runs (RLE-heavy)
+            d = b"".join(
+                bytes([int(rng.integers(0, 5))]) * int(rng.integers(1, 300))
+                for _ in range(n // 50)
+            )[:n]
+        elif kind == 2:  # text
+            s = int(rng.integers(0, len(twain) - 1000))
+            d = (twain[s : s + 1000] * 100)[:n]
+        elif kind == 3:  # periodic short
+            d = (bytes(range(7)) * (n // 7 + 1))[:n]
+        elif kind == 4:  # structured ints
+            a = rng.integers(0, 1 << 16, n // 4 + 1).astype(np.uint32)
+            a.sort()
+            d = a.tobytes()[:n]
+        else:  # mixed
+            d = (twain[:500] + rng.integers(0, 256, 500, dtype=np.uint8).tobytes()) * (n // 1000 + 1)
+            d = d[:n]
+        cases.append(d)
+
+    for i, d in enumerate(cases):
+        res = codec.encode(d)
+        if res is None:
+            continue  # incompressible: stream layer stores raw
+        block, hint_payload = res
+        _, p = read_uvarint(block, 1)
+        seg_size, offs = parse_hints(hint_payload)
+        segs = split_body(block[p:], offs)
+        out = decode_block_tpu(segs, len(d), seg_size)
+        assert out == d, f"case {i} ({len(d)}B) device roundtrip mismatch"
