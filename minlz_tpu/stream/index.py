@@ -239,20 +239,26 @@ class Index:
 
     @classmethod
     def load_stream(cls, f) -> "Index":
-        """Read an index from the tail of a seekable stream, skipping padding
-        and legacy S2 index chunks (reference index.go:416-453)."""
+        """Read an index from the tail of a seekable stream (reference
+        LoadStream, index.go:416-448).  The writer guarantees the index chunk
+        is the LAST thing in the stream (after any padding), so the trailer
+        sits at EOF.  Raises UnsupportedError when no trailer signature is
+        present, CorruptError on malformed contents."""
+        from ..minlz import MAX_CHUNK_SIZE, UnsupportedError
+
         f.seek(-10, 2)
         tail = f.read(10)
-        while True:
-            if tail[4:10] != S2_INDEX_TRAILER:
-                raise CorruptError("no index trailer at stream end")
-            size = int.from_bytes(tail[0:4], "little")
-            f.seek(-size, 2)
-            chunk_hdr = f.read(4)
-            if chunk_hdr[0] == CHUNK_TYPE_INDEX:
-                body = f.read(size - 4)
-                return cls.load(bytes(chunk_hdr) + body)
+        if len(tail) < 10 or tail[4:10] != S2_INDEX_TRAILER:
+            raise UnsupportedError("no index trailer at stream end")
+        size = int.from_bytes(tail[0:4], "little")
+        if size > MAX_CHUNK_SIZE + 4:
+            raise CorruptError("index size out of range")
+        f.seek(-size, 2)
+        chunk_hdr = f.read(4)
+        if chunk_hdr[0] != CHUNK_TYPE_INDEX:
             raise CorruptError("trailer does not point at an index chunk")
+        body = f.read(size - 4)
+        return cls.load(bytes(chunk_hdr) + body)
 
     @classmethod
     def index_stream(cls, f) -> "Index":

@@ -497,6 +497,9 @@ class ReadSeeker(Reader):
                 src.seek(pos)
         self._index = index
         self._abs_pos = 0
+        import threading
+
+        self._read_at_mu = threading.Lock()
 
     def seek(self, offset: int, whence: int = 0) -> int:
         if whence == 1:
@@ -527,8 +530,18 @@ class ReadSeeker(Reader):
         return out
 
     def read_at(self, offset: int, n: int) -> bytes:
-        self.seek(offset)
-        return self.read(n)
+        """io.ReaderAt analog (reference reader.go:1469-1487): seek+read under
+        a mutex so concurrent read_at callers don't interleave state; like the
+        reference, the shared seek position IS affected."""
+        with self._read_at_mu:
+            self.seek(offset)
+            out = bytearray()
+            while len(out) < n:
+                got = self.read(n - len(out))
+                if not got:
+                    break
+                out += got
+            return bytes(out)
 
 
 def decompress(data, **opts) -> bytes:

@@ -266,13 +266,21 @@ class Writer:
         if idx is not None:
             idx.total_uncompressed = self._written_in
             idx.total_compressed = self._written_out
+        # Reference closeIndex ordering (writer.go:1085-1126): the index
+        # bytes are built BEFORE padding (with total_compressed = -1 when
+        # padding will follow, since the padded size is not yet known), the
+        # index length is counted toward the padding target, padding is
+        # emitted, and the index chunk goes LAST so Index.load_stream finds
+        # its trailer at EOF.
+        index_bytes = b""
         if self._add_index and not return_index and idx is not None and idx.info:
             idx.est_block_uncomp = self._block_size
-            # total_compressed counts everything before the index chunk.
-            idx.total_compressed = self._written_out
-            self._write_out(idx.marshal())
+            idx.total_compressed = -1 if self._padding > 1 else self._written_out
+            index_bytes = idx.marshal()
         if self._padding > 1:
-            self._emit_padding()
+            self._emit_padding(extra=len(index_bytes))
+        if index_bytes:
+            self._write_out(index_bytes)
         if self._sidecar is not None and self._sidecar_started:
             self._sidecar.write(bytes([CHUNK_TYPE_EOF, 0, 0, 0]))
         self._closed = True
@@ -446,11 +454,29 @@ class Writer:
         chunk = bytes([ctype]) + len(payload).to_bytes(3, "little") + payload
         return hint_chunk + chunk
 
+    def _latch(self, exc):
+        """First-error latching (reference Writer.err, writer.go:168-179):
+        remember the first failure, drop queued work so state stays
+        consistent, and re-raise.  Every subsequent API call re-raises the
+        latched error via _check_open."""
+        if self._err is None:
+            self._err = exc
+        # Cancel/drop in-flight work; the stream is no longer valid.
+        for item, _, _ in self._pending:
+            if hasattr(item, "cancel"):
+                item.cancel()
+        self._pending.clear()
+        self._dev_batch.clear()
+        raise exc
+
     def _drain_one(self):
         if not self._pending:
             return
         item, usize, uoff = self._pending.pop(0)
-        chunk = item.result() if hasattr(item, "result") else item
+        try:
+            chunk = item.result() if hasattr(item, "result") else item
+        except Exception as exc:  # encoder failure → sticky error
+            self._latch(exc)
         if self._index is not None:
             self._index.add(self._written_out, uoff)
         # Offset of the data chunk itself (skipping a parse-hint prefix).
@@ -466,9 +492,12 @@ class Writer:
             return
         batch = self._dev_batch
         self._dev_batch = []
-        results = self._device_codec.encode_batch(
-            [d for d, _ in batch], self._level
-        )
+        try:
+            results = self._device_codec.encode_batch(
+                [d for d, _ in batch], self._level
+            )
+        except Exception as exc:  # device failure → sticky error
+            self._latch(exc)
         from ..minlz import CHUNK_TYPE_PARSE_HINT
 
         for (data, uoff), res in zip(batch, results):
@@ -514,10 +543,12 @@ class Writer:
         chunk = bytes([chunk_id]) + len(payload).to_bytes(3, "little") + payload
         self._write_out(chunk)
 
-    def _emit_padding(self):
+    def _emit_padding(self, extra: int = 0):
         # Pad stream to a multiple of self._padding (reference
-        # calcSkippableFrame, writer.go:1135).
-        pad = (-self._written_out) % self._padding
+        # calcSkippableFrame, writer.go:1135).  ``extra`` counts bytes that
+        # will be appended after the padding (the trailing index chunk) so
+        # the final file size is the aligned one.
+        pad = (-(self._written_out + extra)) % self._padding
         if pad == 0:
             return
         if pad < 4:

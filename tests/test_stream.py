@@ -89,6 +89,54 @@ def test_padding():
         assert decompress(enc) == b"hello world" * 100
 
 
+def test_padding_with_index_load_stream(twain):
+    # Round-1 regression: index was emitted before padding, so load_stream
+    # (which requires the trailer at EOF, reference index.go:416-448) failed
+    # on padded+indexed streams.  The index chunk must come LAST.
+    data = twain * 40
+    for pad in (4096, 1 << 16):
+        buf = io.BytesIO()
+        with Writer(buf, block_size=64 << 10, add_index=True, padding=pad) as w:
+            w.encode_buffer(data)
+        raw = buf.getvalue()
+        assert len(raw) % pad == 0
+        buf.seek(0)
+        idx = Index.load_stream(buf)
+        assert idx.total_uncompressed == len(data)
+        # Padded streams record unknown compressed total (reference
+        # closeIndex sets compSize=-1 when padding is active).
+        assert idx.total_compressed == -1
+        # Seeking through the loaded index must still work.
+        buf.seek(0)
+        rs = ReadSeeker(buf)
+        for off in (0, 100_000, len(data) - 17):
+            rs.seek(off)
+            assert rs.read(32) == data[off : off + 32]
+        assert decompress(raw) == data
+
+
+def test_writer_sticky_error(twain):
+    # Reference writer.go:168-179: the first encoder failure is latched and
+    # every subsequent call re-raises it.
+    class Boom(RuntimeError):
+        pass
+
+    def bad_encoder(data, level):
+        raise Boom("encoder exploded")
+
+    buf = io.BytesIO()
+    w = Writer(buf, block_size=4 << 10, add_index=False,
+               custom_encoder=bad_encoder, concurrency=1)
+    with pytest.raises(Boom):
+        w.write(twain[: 64 << 10])
+        w.flush()
+    # Latched: subsequent API calls re-raise without touching the encoder.
+    with pytest.raises(Boom):
+        w.write(b"more")
+    with pytest.raises(Boom):
+        w.flush()
+
+
 def test_user_chunks(twain):
     buf = io.BytesIO()
     w = Writer(buf, add_index=False)
