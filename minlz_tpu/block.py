@@ -82,9 +82,18 @@ def decode(src) -> bytes:
     reference decode.go:59-68 falls back to the s2 package)."""
     src = bytes(src)
     if src and src[0] != 0:
-        from .snappy import snappy_decode_block
+        from .minlz import TooLargeError
+        from .snappy import S2_MAX_BLOCK_SIZE, s2_decode_block, snappy_decoded_len
 
-        return snappy_decode_block(src)
+        # Reference decode.go:59-62: fallback blocks are capped at
+        # s2.MaxBlockSize (4 MiB) and return ErrTooLarge beyond it.
+        try:
+            dlen = snappy_decoded_len(src)
+        except ValueError:
+            dlen = 0  # bad varint -> let the decoder report corruption
+        if dlen > S2_MAX_BLOCK_SIZE:
+            raise TooLargeError("fallback block exceeds S2 max block size")
+        return s2_decode_block(src)
     codec = _native_codec()
     if codec is not None:
         return codec.decode_block(src)

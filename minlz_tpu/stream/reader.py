@@ -379,7 +379,11 @@ class Reader:
                 )
             self._snappy_frame = True
         elif payload[:6] == MAGIC_BODY_S2:
-            raise UnsupportedError("S2 stream fallback not yet supported")
+            # S2 framed stream (reference reader.go legacy path): same chunk
+            # framing as Snappy but blocks may be S2-extended and up to 4 MiB.
+            if not self._fallback:
+                raise UnsupportedError("S2 stream (enable fallback decoding)")
+            self._snappy_frame = True
         else:
             raise CorruptError("bad stream identifier magic")
         self._read_header = True
