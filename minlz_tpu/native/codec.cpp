@@ -10,6 +10,7 @@
 #include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #define MINLZ_EXPORT __attribute__((visibility("default")))
@@ -801,15 +802,17 @@ extern "C" {
 // never cross `seg` boundaries (the decode-parallel unit); hints_out gets
 // the body offset of each segment.  Returns body size, or -1 when the body
 // would reach `limit` (caller falls back to uncompressed).
-MINLZ_EXPORT long minlz_parse_serialize(
-    const uint8_t* src, size_t n, const int32_t* dist, const int32_t* len,
-    size_t seg, uint8_t* out, size_t outcap, size_t limit,
-    int64_t* hints_out) {
-  std::vector<uint8_t> body;
-  body.reserve(n / 2 + 64);
-  size_t nseg = (n + seg - 1) / seg;
-
-  for (size_t si = 0; si < nseg; si++) {
+// Serialize segments [seg_begin, seg_end) into `body`; hints_out[si] gets
+// offsets RELATIVE to this range's body start.  Returns false when `limit`
+// is reached (caller falls back to uncompressed).  Segments are fully
+// independent (repeat offset and literal run reset at each boundary), which
+// is what makes both the device decoder's lane parallelism and this
+// function's thread parallelism legal.
+static bool parse_serialize_range(
+    const uint8_t* src, size_t n, const int32_t* dist, size_t seg,
+    size_t seg_begin, size_t seg_end, std::vector<uint8_t>& body,
+    size_t limit, int64_t* hints_out) {
+  for (size_t si = seg_begin; si < seg_end; si++) {
     size_t s0 = si * seg;
     size_t s1 = s0 + seg < n ? s0 + seg : n;
     hints_out[si] = (int64_t)body.size();
@@ -910,14 +913,66 @@ MINLZ_EXPORT long minlz_parse_serialize(
       }
       p = base + l;
       lit_start = p;
-      if (body.size() >= limit) return -1;
+      if (body.size() >= limit) return false;
     }
     if (lit_start < s1) emit_literals(body, src + lit_start, s1 - lit_start);
-    if (body.size() >= limit) return -1;
+    if (body.size() >= limit) return false;
   }
-  if (body.size() > outcap) return -2;
-  memcpy(out, body.data(), body.size());
-  return (long)body.size();
+  return true;
+}
+
+MINLZ_EXPORT long minlz_parse_serialize(
+    const uint8_t* src, size_t n, const int32_t* dist, const int32_t* len,
+    size_t seg, uint8_t* out, size_t outcap, size_t limit,
+    int64_t* hints_out) {
+  (void)len;  // device lengths are proposals; ranges re-extend byte-exactly
+  size_t nseg = (n + seg - 1) / seg;
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t nth = hw ? hw : 1;
+  if (nth > nseg) nth = nseg;
+  if (nth > 16) nth = 16;
+  // Threading pays for itself above ~32 segments (128KiB at 4KiB segments).
+  if (nseg < 32 || nth < 2) {
+    std::vector<uint8_t> body;
+    body.reserve(n / 2 + 64);
+    if (!parse_serialize_range(src, n, dist, seg, 0, nseg, body, limit,
+                               hints_out))
+      return -1;
+    if (body.size() > outcap) return -2;
+    memcpy(out, body.data(), body.size());
+    return (long)body.size();
+  }
+  std::vector<std::vector<uint8_t>> bodies(nth);
+  // NOT vector<bool>: threads write distinct elements concurrently.
+  std::vector<char> oks(nth, 0);
+  std::vector<std::thread> threads;
+  size_t per = (nseg + nth - 1) / nth;
+  for (size_t t = 0; t < nth; t++) {
+    size_t b = t * per, e = b + per < nseg ? b + per : nseg;
+    threads.emplace_back([&, t, b, e] {
+      bodies[t].reserve((e - b) * seg / 2 + 64);
+      // parse_serialize_range indexes hints_out with ABSOLUTE segment
+      // indices [b, e) — pass the base pointer, not hints_out + b.
+      oks[t] = parse_serialize_range(src, n, dist, seg, b, e, bodies[t],
+                                     limit, hints_out);
+    });
+  }
+  for (auto& th : threads) th.join();
+  size_t total = 0;
+  for (size_t t = 0; t < nth; t++) {
+    if (!oks[t]) return -1;
+    total += bodies[t].size();
+  }
+  if (total >= limit) return -1;
+  if (total > outcap) return -2;
+  size_t off = 0;
+  for (size_t t = 0; t < nth; t++) {
+    size_t b = t * per, e = b + per < nseg ? b + per : nseg;
+    for (size_t si = b; si < e; si++) hints_out[si] += (int64_t)off;
+    memcpy(out + off, bodies[t].data(), bodies[t].size());
+    off += bodies[t].size();
+  }
+  return (long)total;
 }
 
 // Serialize a compacted op list (from the TPU greedy parse) into a MinLZ
