@@ -811,10 +811,18 @@ extern "C" {
 static bool parse_serialize_range(
     const uint8_t* src, size_t n, const int32_t* dist, size_t seg,
     size_t seg_begin, size_t seg_end, std::vector<uint8_t>& body,
-    size_t limit, int64_t* hints_out) {
+    size_t limit, int64_t* hints_out, size_t rng) {
   for (size_t si = seg_begin; si < seg_end; si++) {
     size_t s0 = si * seg;
     size_t s1 = s0 + seg < n ? s0 + seg : n;
+    // Match-source clamp (power-of-two `rng`, 0 = off): sources must stay
+    // in the destination's rng-aligned range so the chained device decoder
+    // can execute ranges in parallel (exec_chain.py).  Matches never cross
+    // segment ends, and segments never cross range boundaries, so the
+    // range start is constant per segment.  Repeat offsets are inherited
+    // from earlier in-segment matches at later positions, so their sources
+    // only move forward — no separate clamp needed.
+    size_t rng0 = rng ? (s0 & ~(rng - 1)) : 0;
     hints_out[si] = (int64_t)body.size();
     size_t lit_start = s0;
     uint32_t rep = 0;
@@ -822,7 +830,7 @@ static bool parse_serialize_range(
 
     // Verified match length at q for distance d, capped at segment end.
     auto vlen = [&](size_t q, uint32_t d) -> size_t {
-      if (!d || d > q || d > kMaxOffset) return 0;
+      if (!d || d > q || d > kMaxOffset || q - d < rng0) return 0;
       size_t m = match_len(src + q, src + q - d, s1 - q);
       return m >= 4 ? m : 0;
     };
@@ -880,9 +888,10 @@ static bool parse_serialize_range(
           }
         }
       }
-      // Backward extension over pending literals (not past segment start).
+      // Backward extension over pending literals (not past segment start
+      // nor, when range-clamped, past the source range boundary).
       size_t base = p;
-      while (base > lit_start && base > d &&
+      while (base > lit_start && base > d && base - 1 - d >= rng0 &&
              src[base - 1] == src[base - 1 - d]) {
         base--;
         l++;
@@ -924,7 +933,7 @@ static bool parse_serialize_range(
 MINLZ_EXPORT long minlz_parse_serialize(
     const uint8_t* src, size_t n, const int32_t* dist, const int32_t* len,
     size_t seg, uint8_t* out, size_t outcap, size_t limit,
-    int64_t* hints_out) {
+    int64_t* hints_out, size_t rng) {
   (void)len;  // device lengths are proposals; ranges re-extend byte-exactly
   size_t nseg = (n + seg - 1) / seg;
   unsigned hw = std::thread::hardware_concurrency();
@@ -936,7 +945,7 @@ MINLZ_EXPORT long minlz_parse_serialize(
     std::vector<uint8_t> body;
     body.reserve(n / 2 + 64);
     if (!parse_serialize_range(src, n, dist, seg, 0, nseg, body, limit,
-                               hints_out))
+                               hints_out, rng))
       return -1;
     if (body.size() > outcap) return -2;
     memcpy(out, body.data(), body.size());
@@ -954,7 +963,7 @@ MINLZ_EXPORT long minlz_parse_serialize(
       // parse_serialize_range indexes hints_out with ABSOLUTE segment
       // indices [b, e) — pass the base pointer, not hints_out + b.
       oks[t] = parse_serialize_range(src, n, dist, seg, b, e, bodies[t],
-                                     limit, hints_out);
+                                     limit, hints_out, rng);
     });
   }
   for (auto& th : threads) th.join();

@@ -54,12 +54,14 @@ class _NativeCodec:
             return None
         return out.raw[:wrote], [(int(h), i * seg) for i, h in enumerate(hints[:nseg])]
 
-    def parse_serialize(self, src: bytes, dist, seg: int):
+    def parse_serialize(self, src: bytes, dist, seg: int, rng: int = 0):
         """Fused greedy parse + serialize from device match proposals.
 
         dist: int32[n] candidate distances (0 = none).  Every chosen match
-        is byte-verified and re-extended natively.  Returns (body, hints)
-        or None when the body would not be smaller than the input."""
+        is byte-verified and re-extended natively.  rng > 0 (power of two)
+        clamps match sources to the rng-aligned range of their destination
+        (chained decode contract).  Returns (body, hints) or None when the
+        body would not be smaller than the input."""
         import numpy as np
 
         if not hasattr(self._lib, "minlz_parse_serialize"):
@@ -73,7 +75,7 @@ class _NativeCodec:
         lens = np.zeros(1, np.int32)  # lengths are recomputed natively
         wrote = self._lib.minlz_parse_serialize(
             src, n, dist.ctypes.data, lens.ctypes.data, seg, out, cap,
-            max(n - 1, 1), hints.ctypes.data,
+            max(n - 1, 1), hints.ctypes.data, rng,
         )
         if wrote < 0:
             return None
@@ -118,7 +120,7 @@ def get_codec():
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
-            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_size_t,
         ]
     if hasattr(lib, "minlz_serialize_ops"):
         lib.minlz_serialize_ops.restype = ctypes.c_long

@@ -6,8 +6,12 @@ token stream begins, making the block decodable segment-parallel in lockstep
 lanes.  Spec-conformant readers skip the chunk; the block itself stays 100%
 standard MinLZ.
 
-Payload: "MZPH" + version(1B) + uvarint(segment_size) + uvarint(n_segments)
+Payload v1: "MZPH" + 0x01 + uvarint(segment_size) + uvarint(n_segments)
 + delta-uvarint compressed offsets (first absolute, then deltas).
+Payload v2: same with version 0x02 and uvarint(range) inserted after
+n_segments — `range` > 0 guarantees every match source lies in the
+range-aligned window of its destination, enabling the chained parallel
+executor (exec_chain.py).
 """
 
 from __future__ import annotations
@@ -15,16 +19,17 @@ from __future__ import annotations
 from ..minlz import CorruptError, put_uvarint, read_uvarint
 
 HINT_MAGIC = b"MZPH"
-HINT_VERSION = 1
+HINT_VERSION = 2
 
 
-def marshal_hints(seg_size: int, hints) -> bytes:
+def marshal_hints(seg_size: int, hints, rng: int = 0) -> bytes:
     """hints: list of (comp_offset, out_offset); out offsets are implied by
     the fixed segment size, so only comp offsets go on the wire."""
     out = bytearray(HINT_MAGIC)
     out.append(HINT_VERSION)
     out += put_uvarint(seg_size)
     out += put_uvarint(len(hints))
+    out += put_uvarint(rng)
     prev = 0
     for coff, _ in hints:
         out += put_uvarint(coff - prev)
@@ -33,21 +38,25 @@ def marshal_hints(seg_size: int, hints) -> bytes:
 
 
 def parse_hints(payload: bytes):
-    """Returns (seg_size, [comp_offset...]) or raises CorruptError."""
+    """Returns (seg_size, [comp_offset...], rng) or raises CorruptError."""
     if payload[:4] != HINT_MAGIC:
         raise CorruptError("bad parse-hint magic")
-    if payload[4] != HINT_VERSION:
-        raise CorruptError(f"unsupported parse-hint version {payload[4]}")
+    version = payload[4]
+    if version not in (1, 2):
+        raise CorruptError(f"unsupported parse-hint version {version}")
     pos = 5
     seg_size, pos = read_uvarint(payload, pos)
     n, pos = read_uvarint(payload, pos)
+    rng = 0
+    if version >= 2:
+        rng, pos = read_uvarint(payload, pos)
     offs = []
     cur = 0
     for _ in range(n):
         d, pos = read_uvarint(payload, pos)
         cur += d
         offs.append(cur)
-    return seg_size, offs
+    return seg_size, offs, rng
 
 
 def split_body(body: bytes, comp_offsets):
@@ -67,10 +76,11 @@ class DeviceCodec:
     """
 
     def __init__(self):
-        from . import encode_kernel, pallas_decode
+        from . import encode_kernel, exec_chain, pallas_decode
 
         self._enc = encode_kernel
         self._dec = pallas_decode
+        self._chain = exec_chain
 
     @staticmethod
     def _seg_for(n: int) -> int:
@@ -83,48 +93,57 @@ class DeviceCodec:
 
     def encode(self, data: bytes, level: int = 1):
         seg = self._seg_for(len(data))
-        block, hints = self._enc.encode_block_device(bytes(data), seg)
+        rng = self._chain.RANGE
+        block, hints = self._enc.encode_block_device(bytes(data), seg, rng)
         if block is None:
             return None
         # Strip the 0x00 marker + uvarint for stream framing is done by the
         # caller; here return the full block plus the hint payload.
-        return block, marshal_hints(seg, hints)
+        return block, marshal_hints(seg, hints, rng)
 
     def encode_batch(self, blocks, level: int = 1):
         """Encode many blocks with one device dispatch.  Returns a list of
         (block, hint_payload) | None entries, aligned with the input."""
         seg = self._seg_for(max(len(b) for b in blocks))
+        rng = self._chain.RANGE
         results = self._enc.encode_blocks_device(
-            [bytes(b) for b in blocks], seg
+            [bytes(b) for b in blocks], seg, rng
         )
         out = []
         for block, hints in results:
             if block is None:
                 out.append(None)
             else:
-                out.append((block, marshal_hints(seg, hints)))
+                out.append((block, marshal_hints(seg, hints, rng)))
         return out
 
     def decode(self, body: bytes, hint_payload: bytes, decoded_len: int):
-        seg_size, offs = parse_hints(hint_payload)
+        seg_size, offs, rng = parse_hints(hint_payload)
         if seg_size % 128 or not 4096 <= seg_size <= (1 << 20):
             raise CorruptError(
                 f"unsupported hint segment size {seg_size}"
             )
         segs = split_body(body, offs)
-        # VMEM budget: the executor holds the whole decoded block as int32
-        # rows plus the compressed lanes (~5x the block size); ~1MiB output
-        # is the practical ceiling on 16MB-VMEM parts.  Bigger blocks take
-        # the host codec.  (Roadmap: int8 output storage lifts this 4x.)
         import jax
 
+        # Range-clamped streams (hints v2) take the chained executor: C
+        # parallel op chains over range-aligned spans, packed int32 arena
+        # (~2.2x block VMEM) — handles 4MiB blocks on 16MB-VMEM parts.
+        if (
+            rng
+            and rng % seg_size == 0
+            and seg_size <= 8192
+            and decoded_len <= (4 << 20)
+        ):
+            return self._chain.decode_block_chained(
+                segs, decoded_len, seg_size, rng
+            )
+        # v1 hints (no range guarantee): sequential-op executor, ~1MiB cap
+        # (int32 byte rows cost ~5x the block in VMEM).
         max_out = (1 << 20) if jax.default_backend() == "tpu" else (2 << 20)
         max_lanes = 512
         if len(segs) <= max_lanes and decoded_len <= max_out:
             return self._dec.decode_block_tpu(segs, decoded_len, seg_size)
-        # Large blocks: decode in lane-sized sub-batches.  Cross-batch
-        # back-references require earlier output; for now route oversized
-        # blocks to the host codec.
         raise CorruptError("block exceeds device lane budget")
 
 

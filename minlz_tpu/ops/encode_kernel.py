@@ -104,9 +104,14 @@ def _run_doubling(ext, cap):
     return runs
 
 
-def find_matches_dyn(data_flat, n, seg: int = SEG):
+def find_matches_dyn(data_flat, n, seg: int = SEG, rng: int = 0):
     """data_flat: [1, N] int32 bytes of the whole block (N = padded);
     ``n`` may be a traced scalar (shard_map / vmap use).
+
+    rng (power of two, 0 = off): clamp match sources to the rng-aligned
+    range of their destination, so the chained decode executor
+    (exec_chain.py) can run ranges as parallel chains.  Matches already
+    never cross segment ends, so the clamp is a single check per match.
 
     Multi-level match finder (all levels are batched windowed sorts — no
     hash tables, no gathers):
@@ -161,6 +166,8 @@ def find_matches_dyn(data_flat, n, seg: int = SEG):
     for cand in cands:
         dist = jnp.where(cand >= 0, pos - cand, 0)
         dist = jnp.where((dist > 0) & (dist <= _MAX_OFFSET), dist, 0)
+        if rng:
+            dist = jnp.where(dist <= (pos & (rng - 1)), dist, 0)
         dist1 = jnp.roll(dist, -1, axis=1)
         ext = (dist > 0) & (dist1 == dist) & (pos + 5 <= n)
         # Lengths are merge hints only (the host re-extends byte-exactly),
@@ -206,6 +213,8 @@ def find_matches_dyn(data_flat, n, seg: int = SEG):
         sentinel = (1 << 31) - (1 << _POS_BITS)
         keyflat = jnp.where(svalid, hs << _POS_BITS, sentinel)
         Ws = min(WINDOW, M)
+        while M % Ws:  # sort rows must tile M exactly
+            Ws //= 2
         scands = _window_pass(keyflat, vals, M, Ws, 0, nback=1)
         if M > Ws:
             scands += _window_pass(keyflat, vals, M, Ws, Ws // 2, nback=1)
@@ -216,6 +225,10 @@ def find_matches_dyn(data_flat, n, seg: int = SEG):
             sd = jnp.where(cand >= 0, spos - cand, 0)
             sdist = sd * stride
             sdist = jnp.where((sd > 0) & (sdist <= _MAX_OFFSET), sdist, 0)
+            if rng:
+                sdist = jnp.where(
+                    sdist <= ((spos * stride) & (rng - 1)), sdist, 0
+                )
             sd1 = jnp.roll(sdist, -1, axis=1)
             ext = (sdist > 0) & (sd1 == sdist)
             runs = _run_doubling(ext, run_cap)
@@ -244,10 +257,10 @@ def find_matches_dyn(data_flat, n, seg: int = SEG):
     return best_dist, best_len
 
 
-@functools.partial(jax.jit, static_argnames=("n", "seg"))
-def find_matches(data_flat, n: int, seg: int = SEG):
+@functools.partial(jax.jit, static_argnames=("n", "seg", "rng"))
+def find_matches(data_flat, n: int, seg: int = SEG, rng: int = 0):
     """jit-cached wrapper of find_matches_dyn for static block sizes."""
-    return find_matches_dyn(data_flat, n, seg)
+    return find_matches_dyn(data_flat, n, seg, rng)
 
 
 @functools.partial(jax.jit, static_argnames=("seg", "max_ops"))
@@ -438,21 +451,26 @@ def serialize_segment(src: bytes, take, tok_off, tok_len, is_rep) -> bytes:
     return bytes(dst)
 
 
-@functools.partial(jax.jit, static_argnames=("seg",))
-def _find_matches_batch(data_u8, ns, seg: int = SEG):
+@functools.partial(jax.jit, static_argnames=("seg", "rng"))
+def _find_matches_batch(data_u8, ns, seg: int = SEG, rng: int = 0):
     """vmapped match finding over [B, N] blocks with per-block valid
     lengths — one device dispatch for a whole batch of stream blocks."""
 
     def one(d, n):
-        dist, _ = find_matches_dyn(d[None, :].astype(jnp.int32), n, seg)
+        dist, _ = find_matches_dyn(d[None, :].astype(jnp.int32), n, seg,
+                                   rng)
         return dist[0]
 
     return jax.vmap(one)(data_u8, ns)
 
 
-def encode_blocks_device(blocks, seg: int = SEG):
+def encode_blocks_device(blocks, seg: int = SEG, rng: int = 0):
     """Encode a batch of blocks with ONE device dispatch (the stream
     writer's batching path; replaces per-block dispatches).
+
+    rng > 0 clamps match sources to rng-aligned ranges (both in the device
+    finder and the native parse) so the chained executor can decode ranges
+    in parallel; callers record it in hints v2.
 
     Returns a list of (block_bytes, hints) tuples ((None, None) entries
     for incompressible blocks)."""
@@ -466,16 +484,16 @@ def encode_blocks_device(blocks, seg: int = SEG):
         arr[i, : len(b)] = np.frombuffer(b, np.uint8)
         ns[i] = len(b)
     dists = np.asarray(_find_matches_batch(jnp.asarray(arr), jnp.asarray(ns),
-                                           seg))
+                                           seg, rng))
     from ..native.codec import get_codec
 
     codec = get_codec()
     if codec is None:
         # No native toolchain: per-block slow path (oracle serializer).
-        return [encode_block_device(b, seg) for b in blocks]
+        return [encode_block_device(b, seg, rng) for b in blocks]
     out = []
     for i, b in enumerate(blocks):
-        res = codec.parse_serialize(b, dists[i, : len(b)], seg)
+        res = codec.parse_serialize(b, dists[i, : len(b)], seg, rng)
         if res is None:
             out.append((None, None))
             continue
@@ -487,7 +505,7 @@ def encode_blocks_device(blocks, seg: int = SEG):
     return out
 
 
-def encode_block_device(data: bytes, seg: int = SEG):
+def encode_block_device(data: bytes, seg: int = SEG, rng: int = 0):
     """Encode one block as concatenated segments with a shared match window.
 
     Returns (block_bytes, hints) where hints is a list of
@@ -499,13 +517,13 @@ def encode_block_device(data: bytes, seg: int = SEG):
         return b"\x00", []
     nseg = -(-n // seg)
     N = nseg * seg
-    # Pad to the match-finder window size (batched sort row length).
-    N = -(-N // WINDOW) * WINDOW
+    # Pad to the level-0 window size (batched sort row length).
+    N = -(-N // (2 * WINDOW)) * (2 * WINDOW)
     flat = np.zeros(N, np.uint8)
     flat[:n] = np.frombuffer(data, np.uint8)
 
     dist, length = find_matches(
-        jnp.asarray(flat, dtype=jnp.int32)[None, :], n, seg
+        jnp.asarray(flat, dtype=jnp.int32)[None, :], n, seg, rng
     )
     from ..native.codec import get_codec
 
@@ -515,7 +533,7 @@ def encode_block_device(data: bytes, seg: int = SEG):
         # Fused native parse+serialize: verifies and re-extends every device
         # match proposal byte-exactly (device lengths are only hints).
         dist_np = np.asarray(dist).reshape(-1)[:n]
-        res = codec.parse_serialize(data, dist_np, seg)
+        res = codec.parse_serialize(data, dist_np, seg, rng)
     if res is not None:
         body, hints = res
     else:

@@ -117,9 +117,11 @@ class Writer:
         else:
             self._device_codec = None
         # Device blocks are encoded in batches of this many per dispatch
-        # (amortizes kernel launch; blocks stay in submission order).
+        # (amortizes kernel launch — the axon tunnel costs ~26ms per round
+        # trip; blocks stay in submission order).  16 x 2MiB blocks = 32MiB
+        # of match-finder working set per dispatch.
         self._dev_batch = []
-        self._dev_batch_size = 4
+        self._dev_batch_size = 16
         if concurrency is None:
             concurrency = min(os.cpu_count() or 1, 8)
         self._concurrency = max(1, concurrency)
