@@ -127,7 +127,10 @@ def compact_ops_chained(kind, dst, clen, csrc, lsrc, llen,
     lane_idx = jnp.arange(L, dtype=jnp.int32)[:, None]
     a = lane_major(llen) | (lane_major(clen) << 14)
     b = lane_major(csrc)
-    c = lane_major(lsrc) + lane_idx * pc
+    # +ROW_B: the arena carries one guard row before the compressed lanes
+    # so window() never sees a negative byte address (literal reads are
+    # window(ls - q) with q up to ROW_B-1).
+    c = lane_major(lsrc) + lane_idx * pc + ROW_B
 
     real = k > 0
     big = jnp.int32(0x7FFFFFFF)
@@ -274,9 +277,9 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
                 can = need & (op < limits[ch])
                 idx = jnp.clip(op - t * OP_T, 0, OP_T - 1)
                 base = ch * (OP_T * 3) + idx * 3
-                a = ops_ref[base]
-                b = ops_ref[base + 1]
-                cw = ops_ref[base + 2]
+                a = ops_ref[0, base]
+                b = ops_ref[0, base + 1]
+                cw = ops_ref[0, base + 2]
                 lr = jnp.where(can, a & 0x3FFF, lr)
                 cr = jnp.where(can, (a >> 14) & 0x3FFF, cr)
                 eff = jnp.where(can, jnp.maximum(b, 1), eff)
@@ -349,17 +352,20 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
 )
 def execute_chained(ops_flat, counts, arena, nchain: int, cap_pc: int,
                     out_base_row: int, chain_rows: int, n_arena_rows: int):
-    """Run the chained executor.  ops_flat: [n_tiles * nchain * OP_T * 3]
+    """Run the chained executor.  ops_flat: [n_tiles, nchain * OP_T * 3]
     tile-major op words.  arena: [n_arena_rows, 128] int32 packed bytes with
-    the compressed lanes at rows [0, out_base_row).  Returns the arena with
-    the output region filled."""
+    a guard row at row 0 and the compressed lanes at rows
+    [1, out_base_row).  Returns the arena with the output region filled."""
     grid = (cap_pc // OP_T,)
+    # ops come in as [n_tiles, nchain*OP_T*3] so each grid step's SMEM block
+    # matches the full minor dimension (Mosaic rejects 1D blocks that do not
+    # tile the array evenly).
     kernel = pl.pallas_call(
         _make_chain_kernel(nchain, out_base_row, chain_rows, n_arena_rows),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((nchain * OP_T * 3,), lambda t: (t,),
+            pl.BlockSpec((1, nchain * OP_T * 3), lambda t: (t, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n_arena_rows, 128), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -410,22 +416,24 @@ def _decode_block_jit(comp_lanes, lens, n_rows: int, pc: int, seg: int,
     ops_flat = (
         ops.reshape(nchain, n_tiles, OP_T, 3)
         .transpose(1, 0, 2, 3)
-        .reshape(n_tiles * nchain * OP_T * 3)
+        .reshape(n_tiles, nchain * OP_T * 3)
     )
 
-    # Arena: per-lane comp bytes packed 4-per-word, then the output region.
+    # Arena: guard row (negative-window clamp target), per-lane comp bytes
+    # packed 4-per-word, then the output region.
     flat = comp_lanes.reshape(-1, 128, 4).astype(jnp.int32)
     comp_words = (flat[:, :, 0] | (flat[:, :, 1] << 8)
                   | (flat[:, :, 2] << 16) | (flat[:, :, 3] << 24))
     comp_rows = lanes * pc // ROW_B
     arena = jnp.concatenate(
-        [comp_words, jnp.zeros((out_rows + 2, 128), jnp.int32)], axis=0
+        [jnp.zeros((1, 128), jnp.int32), comp_words,
+         jnp.zeros((out_rows + 2, 128), jnp.int32)], axis=0
     )
-    n_arena_rows = comp_rows + out_rows + 2
+    n_arena_rows = 1 + comp_rows + out_rows + 2
     chain_rows = spc * seg // ROW_B
     return execute_chained(
         ops_flat, counts, arena, nchain=nchain, cap_pc=cap_pc,
-        out_base_row=comp_rows, chain_rows=chain_rows,
+        out_base_row=1 + comp_rows, chain_rows=chain_rows,
         n_arena_rows=n_arena_rows,
     )
 
@@ -476,6 +484,6 @@ def decode_block_chained(seg_bytes_list, out_total: int, seg: int,
         seg=seg, spc=spc, nchain=nchain, cap_pc=cap_pc, out_rows=out_rows,
     )
     comp_rows = lanes * pc // ROW_B
-    out_np = np.asarray(arena[comp_rows : comp_rows + out_rows])
+    out_np = np.asarray(arena[1 + comp_rows : 1 + comp_rows + out_rows])
     out_bytes = out_np.view(np.uint32).view(np.uint8).reshape(-1)
     return out_bytes[:out_total].tobytes()

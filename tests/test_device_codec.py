@@ -15,9 +15,13 @@ from minlz_tpu.stream import Reader, Writer
 def test_hint_wire_roundtrip():
     hints = [(0, 0), (100, 4096), (250, 8192), (1000, 12288)]
     payload = marshal_hints(4096, hints)
-    seg, offs = parse_hints(payload)
+    seg, offs, rng = parse_hints(payload)
     assert seg == 4096
     assert offs == [h[0] for h in hints]
+    assert rng == 0
+    payload2 = marshal_hints(4096, hints, rng=131072)
+    seg2, offs2, rng2 = parse_hints(payload2)
+    assert (seg2, offs2, rng2) == (4096, offs, 131072)
 
 
 def test_device_encode_oracle_decodable(twain):
@@ -200,7 +204,7 @@ def test_device_roundtrip_fuzz(twain):
             continue  # incompressible: stream layer stores raw
         block, hint_payload = res
         _, p = read_uvarint(block, 1)
-        seg_size, offs = parse_hints(hint_payload)
+        seg_size, offs, _ = parse_hints(hint_payload)
         segs = split_body(block[p:], offs)
         out = decode_block_tpu(segs, len(d), seg_size)
         assert out == d, f"case {i} ({len(d)}B) device roundtrip mismatch"
