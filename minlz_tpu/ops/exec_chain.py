@@ -231,10 +231,13 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
                 jnp.take_along_axis(r1, idx1 & 127, axis=1),
             )
             # Byte realign: little-endian packing, so byte k of the stream
-            # window comes from (w >> 8*bs) | (w_next << 8*(4-bs)).
-            sr = bs * 8
+            # window comes from (w >> 8*bs) | (w_next << 8*(4-bs)).  The
+            # shift count must also be unsigned: uint32 >> int32 promotes
+            # back to int32 and becomes an ARITHMETIC shift that smears
+            # sign bits (0xff) over high bytes.
+            sr = (bs * 8).astype(jnp.uint32)
             lo = (w.astype(jnp.uint32) >> sr).astype(jnp.int32)
-            hi = wn << ((32 - sr) & 31)
+            hi = wn << ((32 - sr.astype(jnp.int32)) & 31)
             return jnp.where(bs == 0, lo, lo | hi)
 
         def bmask(lo_b, hi_b):
@@ -299,9 +302,12 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
                 ls = ls + ta
                 lr = lr - ta
 
-                # copy sub-slot (eff-doubling handles RLE overlap)
+                # copy sub-slot (eff-doubling handles RLE overlap); gated
+                # on lr == 0 so a row-crossing literal run finishes before
+                # its op's copy starts.
                 q2 = cur & (ROW_B - 1)
                 tb = jnp.minimum(jnp.minimum(cr, eff), ROW_B - q2)
+                tb = jnp.where(lr == 0, tb, 0)
                 win2 = window(cur - eff - q2)
                 m2 = bmask(q2, q2 + tb)
                 acc = (win2 & m2) | (acc & ~m2)
