@@ -428,32 +428,6 @@ remainder:
 
 constexpr uint32_t kMaxOffset = (2u << 20) + 65535;
 
-// Cost in bytes of emitting a copy of (offset, length) given current rep.
-inline uint32_t copy_cost(uint32_t offset, uint32_t length, uint32_t rep) {
-  if (offset == rep) {
-    uint32_t v = length - 1;
-    if (v < 29) return 1;
-    v = length - 30;
-    return v < 256 ? 2 : v < 65536 ? 3 : 4;
-  }
-  if (offset <= 1024) {
-    if (length <= 18) return 2;
-    if (length <= 273) return 3;
-    uint32_t v = length - 18 - 30;
-    return 3 + (length - 18 - 1 < 29 ? 1 : v < 256 ? 2 : v < 65536 ? 3 : 4);
-  }
-  if (offset <= 65599) {
-    uint32_t l = length - 4;
-    if (l <= 60) return 3;
-    l -= 60;
-    return l < 256 ? 4 : l < 65536 ? 5 : 6;
-  }
-  uint32_t l = length - 4;
-  if (l <= 60) return 4;
-  l -= 60;
-  return l < 256 ? 5 : l < 65536 ? 6 : 7;
-}
-
 inline uint32_t literal_cost(size_t n) {
   if (n == 0) return 0;
   if (n < 30) return 1 + n;
@@ -598,115 +572,293 @@ long encode_balanced(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
 }
 
 // ---------------------------------------------------------------------------
-// Level 3 "Smallest": exhaustive candidate scoring (reference encode_l3.go
-// model: 2-way long/short tables, repeat + lookahead candidates, gain-scored
-// selection).  No speed target.
+// Optimal parse: forward DP over (position, repeat-offset) states with a
+// small beam, hash-chain match finder, and the exact emitter cost model.
+//
+// Behavioral match: this subsumes the reference L3's scored-candidate search
+// (encode_l3.go:118-169,633-699 — emit-cost-aware gains, repeat + lookahead
+// candidates, fused-literal discounts): a DP that prices every token with
+// the true on-wire emitter cost and keeps the best arrival per repeat-state
+// considers strictly more parses than a greedy scan with lookahead.  Not a
+// translation — the reference has no DP; this design trades the reference's
+// single-pass heuristics for parse optimality at bounded beam width.
 // ---------------------------------------------------------------------------
 
-long encode_best(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
-  const int lbits = 20, sbits = 18;
-  // Each entry packs two candidates: newest in low 32, previous in high 32.
-  std::vector<uint64_t> longT((size_t)1 << lbits, 0);
-  std::vector<uint64_t> shortT((size_t)1 << sbits, 0);
-  const size_t s_limit = n - 8;
-  const size_t dst_limit = n - 5;
+// Exact on-wire costs, mirrors the emitters above byte for byte.
+inline uint32_t cost_lit_hdr(uint32_t run) {
+  // Header bytes for a literal run of `run` (excl. the literal bytes).
+  if (run < 30) return 1;
+  if (run < 286) return 2;
+  if (run < 65566) return 3;
+  return 4;
+}
 
-  size_t next_emit = 0, s = 1;
+inline uint32_t cost_repeat(uint32_t len) {
+  if (len - 1 < 29) return 1;
+  uint32_t v = len - 30;
+  return v < 256 ? 2 : v < 65536 ? 3 : 4;
+}
+
+inline uint32_t cost_copy(uint32_t offset, uint32_t len) {
+  if (offset <= 1024) {  // copy1 (+ repeat extension past 273)
+    if (len <= 18) return 2;
+    if (len <= 273) return 3;
+    return 2 + cost_repeat(len - 18);
+  }
+  if (offset <= 65599) {  // copy2
+    uint32_t l = len - 4;
+    if (l <= 60) return 3;
+    l -= 60;
+    return l < 256 ? 4 : l < 65536 ? 5 : 6;
+  }
+  // copy3
+  uint32_t l = len - 4;
+  if (l <= 60) return 4;
+  l -= 60;
+  return l < 256 ? 5 : l < 65536 ? 6 : 7;
+}
+
+namespace optimal {
+
+// Parent-edge packing: type(2) | slot(3) | len(23) | offset(22).
+enum : uint32_t { kLit = 0, kCopy = 1, kRep = 2, kFused = 3 };
+
+inline uint64_t pack_edge(uint32_t type, uint32_t slot, uint32_t len,
+                          uint32_t off) {
+  return (uint64_t)type | ((uint64_t)slot << 2) | ((uint64_t)len << 5) |
+         ((uint64_t)off << 28);
+}
+
+struct Slot {
+  uint32_t cost = 0xFFFFFFFFu;
   uint32_t rep = 0;
+  uint32_t litrun = 0;
+  uint64_t parent = 0;
+};
 
-  auto insert = [&](size_t i) {
-    uint64_t v = load64(src + i);
-    uint64_t& le = longT[hash8(v, lbits)];
-    le = (le << 32) | (uint32_t)i;
-    uint64_t& se = shortT[hash4((uint32_t)v, sbits)];
-    se = (se << 32) | (uint32_t)i;
-  };
+struct Dp {
+  const uint8_t* src;
+  size_t n;
+  int beam;
+  std::vector<Slot> st;  // (n+1) * beam
 
-  struct Best {
-    size_t base = 0, cand = 0, len = 0;
-    long gain = 0;
-    bool is_rep = false;
-  };
+  Slot* at(size_t i) { return st.data() + i * beam; }
 
-  while (s <= s_limit) {
-    Best best;
-    // Evaluate a candidate match starting at `at` vs source `cand`.
-    auto consider = [&](size_t at, size_t cand, bool is_rep) {
-      if (at > s_limit) return;
-      if (!is_rep) {
-        if (cand == 0 || cand >= at || at - cand > kMaxOffset) return;
-        if (load32(src + at) != load32(src + cand)) return;
-      } else {
-        if (cand >= at) return;
-        if (load32(src + at) != load32(src + cand)) return;
+  void push(size_t i, uint32_t rep, uint32_t cost, uint32_t litrun,
+            uint64_t parent) {
+    Slot* s = at(i);
+    int worst = 0;
+    for (int k = 0; k < beam; k++) {
+      if (s[k].cost != 0xFFFFFFFFu && s[k].rep == rep) {
+        if (cost < s[k].cost ||
+            (cost == s[k].cost && litrun < s[k].litrun)) {
+          s[k] = {cost, rep, litrun, parent};
+        }
+        return;
       }
-      size_t len = 4 + match_len(src + at + 4, src + cand + 4, n - at - 4);
-      size_t base = at, c = cand;
-      while (base > next_emit && c > 0 && src[base - 1] == src[c - 1]) {
-        base--;
-        c--;
-        len++;
-      }
-      uint32_t offset = (uint32_t)(base - c);
-      bool rep_now = offset == rep;
-      // Gain: bytes covered minus token cost minus extra literal cost of
-      // the bytes between next_emit and base (they are emitted either way;
-      // only their header amortization differs, ignored here).
-      long gain = (long)len - (long)copy_cost(offset, (uint32_t)len, rep_now ? rep : 0xFFFFFFFFu);
-      if (rep_now) gain += 1;  // repeat keeps the offset live; mild bonus
-      if (base > s) gain -= (long)(base - s);  // deferred start costs literals
-      if (gain > best.gain ||
-          (gain == best.gain && best.len && offset < best.base - best.cand)) {
-        best = {base, c, len, gain, rep_now};
-      }
-    };
-
-    uint64_t cv = load64(src + s);
-    uint64_t le = longT[hash8(cv, lbits)];
-    uint64_t se = shortT[hash4((uint32_t)cv, sbits)];
-    consider(s, (uint32_t)le, false);
-    consider(s, (uint32_t)(le >> 32), false);
-    consider(s, (uint32_t)se, false);
-    consider(s, (uint32_t)(se >> 32), false);
-    if (rep && s >= rep) consider(s, s - rep, true);
-    if (rep && s + 1 >= rep && s + 1 <= s_limit) consider(s + 1, s + 1 - rep, true);
-    // Lookahead: candidates at s+1 (cost one extra literal).
-    if (s + 1 <= s_limit) {
-      uint64_t cv1 = load64(src + s + 1);
-      uint64_t le1 = longT[hash8(cv1, lbits)];
-      uint64_t se1 = shortT[hash4((uint32_t)cv1, sbits)];
-      consider(s + 1, (uint32_t)le1, false);
-      consider(s + 1, (uint32_t)(le1 >> 32), false);
-      consider(s + 1, (uint32_t)se1, false);
-      consider(s + 1, (uint32_t)(se1 >> 32), false);
+      if (s[k].cost == 0xFFFFFFFFu) { worst = k; break; }
+      if (s[k].cost > s[worst].cost) worst = k;
     }
-    insert(s);
+    if (cost < s[worst].cost) s[worst] = {cost, rep, litrun, parent};
+  }
+};
 
-    if (best.len >= 4 && best.gain > 0) {
-      uint32_t offset = (uint32_t)(best.base - best.cand);
-      emit_match(out, src, next_emit, best.base, offset, (uint32_t)best.len,
-                 rep);
-      size_t end = best.base + best.len;
-      if (out.size() > dst_limit) return -1;
-      size_t i = s + 1;
-      for (; i + 8 <= end; i++) insert(i);
-      // Tail positions can't feed the 8-byte long hash but matter to the
-      // short table: the next match often starts right after this one.
-      for (; i + 4 <= end && i + 4 <= n; i++) {
-        uint64_t& se = shortT[hash4(load32(src + i), sbits)];
-        se = (se << 32) | (uint32_t)i;
+}  // namespace optimal
+
+// Optimal-parse encoder.  beam: arrival states kept per position (keyed by
+// repeat offset); chain: hash-chain search depth.  Returns -1 on overflow
+// (incompressible under dst_limit).
+long encode_optimal(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
+                    int beam, int chain_depth) {
+  using namespace optimal;
+  const size_t dst_limit = n - 5;
+  if (n < 16) return -1;
+
+  // Beam scaling keeps the DP state array bounded (~24B * n * beam).
+  if (n > (1u << 20)) beam = beam > 2 ? 2 : beam;
+  if (n > (4u << 20)) beam = 1;
+
+  const int hbits = n >= (1u << 20) ? 17 : 15;
+  std::vector<int32_t> head((size_t)1 << hbits, -1);
+  std::vector<int32_t> prev(n, -1);
+
+  Dp dp{src, n, beam, {}};
+  dp.st.assign((n + 1) * (size_t)beam, Slot{});
+  // Initial repeat offset is 1 per SPEC (decoder starts with rep = 1), so a
+  // leading RLE run can use repeat ops immediately.
+  dp.push(0, 1, 0, 0, 0);
+
+  const size_t match_limit = n >= 8 ? n - 8 : 0;
+
+  // Candidate buffer per position: best (longest, then nearest) match per
+  // offset cost class: [0] <=1024, [1] <=65599, [2] <=kMaxOffset.
+  uint32_t cand_off[3], cand_len[3];
+
+  for (size_t i = 0; i < n; i++) {
+    Slot* cur = dp.at(i);
+
+    // --- find candidates at i (once; shared by all slots) ---
+    int ncls = 0;
+    cand_len[0] = cand_len[1] = cand_len[2] = 0;
+    if (i >= 1 && i < match_limit) {
+      uint32_t cv = load32(src + i);
+      int32_t j = head[hash4(cv, hbits)];
+      int depth = 0;
+      while (j >= 0 && depth < chain_depth) {
+        uint32_t off = (uint32_t)(i - j);
+        if (off > kMaxOffset) break;  // chain is position-ordered
+        if (load32(src + (size_t)j) == cv) {
+          size_t l =
+              4 + match_len(src + i + 4, src + (size_t)j + 4, n - i - 4);
+          int cls = off <= 1024 ? 0 : off <= 65599 ? 1 : 2;
+          if (l > cand_len[cls]) {
+            cand_len[cls] = (uint32_t)l;
+            cand_off[cls] = off;
+            ncls++;
+          }
+        }
+        j = prev[(size_t)j];
+        depth++;
       }
-      s = end;
-      next_emit = s;
-      continue;
     }
-    size_t skip = 1 + ((s - next_emit) >> 8);
-    s += skip < 64 ? skip : 64;
+
+    for (int k = 0; k < beam; k++) {
+      if (cur[k].cost == 0xFFFFFFFFu) continue;
+      const uint32_t cost = cur[k].cost;
+      const uint32_t rep = cur[k].rep;
+      const uint32_t litrun = cur[k].litrun;
+
+      // Literal step: charge the byte plus any header growth.
+      {
+        uint32_t lr = litrun + 1;
+        uint32_t extra = 1 + (cost_lit_hdr(lr) - (litrun ? cost_lit_hdr(litrun) : 0));
+        dp.push(i + 1, rep, cost + extra, lr,
+                pack_edge(kLit, k, 1, 0));
+      }
+
+      // Repeat: min length 1 byte.
+      if (rep && i >= rep && i < n) {
+        size_t maxl = match_len(src + i, src + i - rep, n - i);
+        if (maxl >= 1) {
+          uint32_t ls[3] = {(uint32_t)maxl, 29, 285};
+          for (uint32_t L : ls) {
+            if (L < 1 || L > maxl) continue;
+            dp.push(i + L, rep, cost + cost_repeat(L), 0,
+                    pack_edge(kRep, k, L, rep));
+          }
+        }
+      }
+
+      if (!ncls) continue;
+      for (int cls = 0; cls < 3; cls++) {
+        uint32_t maxl = cand_len[cls];
+        if (maxl < 4) continue;
+        uint32_t off = cand_off[cls];
+        if (off == rep) continue;  // covered by the repeat transition
+        // Cost-class boundary lengths + the full match.
+        uint32_t ls[5];
+        int nl = 0;
+        ls[nl++] = maxl;
+        if (cls == 0) {
+          if (maxl > 18) ls[nl++] = 18;
+          if (maxl > 273) ls[nl++] = 273;
+        } else {
+          if (maxl > 64) ls[nl++] = 64;
+        }
+        if (maxl > 4) ls[nl++] = 4;
+        for (int q = 0; q < nl; q++) {
+          uint32_t L = ls[q];
+          dp.push(i + L, off, cost + cost_copy(off, L), 0,
+                  pack_edge(kCopy, k, L, off));
+        }
+        // Fused copy2: folds a 1-4 byte pending literal run into the
+        // token, saving the run's 1-byte header.
+        if (litrun >= 1 && litrun <= 4 && off >= 64 && off <= 65599) {
+          uint32_t L = maxl < 11 ? maxl : 11;
+          dp.push(i + L, off, cost + 2, 0, pack_edge(kFused, k, L, off));
+        }
+        // Copy3 carries 0-3 fused literals: same 1-byte header saving.
+        if (litrun >= 1 && litrun <= 3 && off > 65599) {
+          dp.push(i + maxl, off, cost + cost_copy(off, maxl) - 1, 0,
+                  pack_edge(kFused, k, maxl, off));
+        }
+      }
+    }
+
+    if (i < match_limit) {
+      uint32_t h = hash4(load32(src + i), hbits);
+      prev[i] = head[h];
+      head[h] = (int32_t)i;
+    }
   }
 
-  if (next_emit < n) {
-    if (out.size() + literal_cost(n - next_emit) > dst_limit) return -1;
-    emit_literals(out, src + next_emit, n - next_emit);
+  // --- pick the cheapest arrival at n and backtrack ---
+  Slot* fin = dp.at(n);
+  int bk = -1;
+  for (int k = 0; k < beam; k++) {
+    if (fin[k].cost == 0xFFFFFFFFu) continue;
+    if (bk < 0 || fin[k].cost < fin[bk].cost) bk = k;
+  }
+  if (bk < 0 || fin[bk].cost > dst_limit) return -1;
+
+  // Reconstruct edges newest-first.
+  struct Edge {
+    uint32_t type, len, off;
+  };
+  std::vector<Edge> edges;
+  {
+    size_t i = n;
+    int k = bk;
+    while (i > 0) {
+      uint64_t e = dp.at(i)[k].parent;
+      uint32_t type = (uint32_t)(e & 3);
+      uint32_t slot = (uint32_t)((e >> 2) & 7);
+      uint32_t len = (uint32_t)((e >> 5) & 0x7FFFFF);
+      uint32_t off = (uint32_t)(e >> 28);
+      edges.push_back({type, len, off});
+      i -= len;
+      k = (int)slot;
+    }
+  }
+
+  // Emit forward, merging literal steps into runs.
+  size_t pos = 0, run = 0;
+  for (size_t e = edges.size(); e-- > 0;) {
+    const Edge& ed = edges[e];
+    switch (ed.type) {
+      case kLit:
+        run += ed.len;
+        pos += ed.len;
+        break;
+      case kRep:
+        if (run) emit_literals(out, src + pos - run, run), run = 0;
+        emit_repeat(out, ed.len);
+        pos += ed.len;
+        break;
+      case kCopy:
+        if (run) emit_literals(out, src + pos - run, run), run = 0;
+        if (ed.off <= 1024) emit_copy1(out, ed.off, ed.len);
+        else if (ed.off <= 65599) emit_copy2(out, ed.off, ed.len);
+        else emit_copy3(out, ed.off, ed.len, nullptr, 0);
+        pos += ed.len;
+        break;
+      case kFused: {
+        const uint8_t* lits = src + pos - run;
+        if (ed.off <= 65599) {
+          emit_fused2(out, lits, (uint32_t)run, ed.off, ed.len);
+        } else {
+          emit_copy3(out, ed.off, ed.len, lits, (uint32_t)run);
+        }
+        run = 0;
+        pos += ed.len;
+        break;
+      }
+    }
+    if (out.size() > dst_limit) return -1;
+  }
+  if (run) {
+    if (out.size() + literal_cost(run) > dst_limit) return -1;
+    emit_literals(out, src + pos - run, run);
   }
   return (long)out.size();
 }
@@ -765,8 +917,19 @@ MINLZ_EXPORT long minlz_encode_block(const uint8_t* src, size_t n,
   std::vector<uint8_t> body;
   body.reserve(n / 2);
   long blen;
-  if (level >= 3 && n > 16) {
-    blen = encode_best(src, n, body);
+  // Small-block polish: below these sizes every level can afford the
+  // optimal-parse DP (the reference similarly swaps in dedicated 64K
+  // encoder variants for small inputs, encode_amd64.go:37-271); beam/chain
+  // scale with level.  Large blocks keep the level's streaming encoder.
+  const size_t polish_cap = level >= 2   ? (256u << 10)
+                            : level == 1 ? (64u << 10)
+                                         : (32u << 10);
+  if (n <= polish_cap) {
+    int beam = level >= 3 ? 8 : level == 2 ? 4 : 2;
+    int chain = level >= 3 ? 192 : level == 2 ? 64 : level == 1 ? 32 : 16;
+    blen = encode_optimal(src, n, body, beam, chain);
+  } else if (level >= 3) {
+    blen = encode_optimal(src, n, body, 4, 96);
   } else if (level == 2) {
     blen = encode_balanced(src, n, body);
   } else {

@@ -59,6 +59,11 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def tile_words(nchain: int) -> int:
+    """Per-grid-step op words, padded to Mosaic's 1024-word 1D tiling."""
+    return -(-(nchain * OP_T * 3) // 1024) * 1024
+
+
 # --------------------------------------------------------------------------
 # Compaction: op arrays [P, sub, 128] -> per-chain padded op lists
 # --------------------------------------------------------------------------
@@ -184,8 +189,10 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
                        n_arena_rows: int):
     """Build the chained executor.
 
-    counts_ref: SMEM [nchain].  ops_ref: SMEM flat tile
-    [nchain * OP_T * 3] (tile-major repack of the per-chain lists).
+    counts_ref: SMEM [nchain].  ops_ref: 1D SMEM tile of
+    nchain * OP_T * 3 words (tile-major repack of the per-chain lists) —
+    1D because Mosaic's (8, 128) divisibility rule applies to >=2D SMEM
+    blocks and a (1, W) block over a multi-tile array fails it.
     arena_in_ref/arena_ref: VMEM [n_arena_rows, 128] int32 — [comp rows
     || out rows], aliased input/output (all access goes through the out
     ref; unwritten rows read back the aliased input).  st_ref: SMEM scratch (nchain*8,) persisted
@@ -195,13 +202,16 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
 
     def kernel(counts_ref, ops_ref, arena_in_ref, arena_ref, st_ref,
                acc_ref):
-        del arena_in_ref  # aliased with arena_ref (same memory)
         t = pl.program_id(0)
         iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         b4 = iota * 4  # first byte index of each packed word
 
         @pl.when(t == 0)
         def _init():
+            # The HBM buffers are aliased, but on real TPU the output VMEM
+            # block is a distinct, uninitialized buffer — seed it from the
+            # input block (interpret mode pre-copies; hardware does not).
+            arena_ref[...] = arena_in_ref[...]
             for ch in range(nchain):
                 st_ref[ch * F + 0] = 0  # op_ptr
                 st_ref[ch * F + 1] = 0  # lit_rem
@@ -235,9 +245,10 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
             # shift count must also be unsigned: uint32 >> int32 promotes
             # back to int32 and becomes an ARITHMETIC shift that smears
             # sign bits (0xff) over high bytes.
-            sr = (bs * 8).astype(jnp.uint32)
-            lo = (w.astype(jnp.uint32) >> sr).astype(jnp.int32)
-            hi = wn << ((32 - sr.astype(jnp.int32)) & 31)
+            sr_u = (bs * 8).astype(jnp.uint32)   # right-shift count (uint)
+            sl = (32 - bs * 8) & 31              # left-shift count (int32)
+            lo = (w.astype(jnp.uint32) >> sr_u).astype(jnp.int32)
+            hi = wn << sl
             return jnp.where(bs == 0, lo, lo | hi)
 
         def bmask(lo_b, hi_b):
@@ -280,9 +291,9 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
                 can = need & (op < limits[ch])
                 idx = jnp.clip(op - t * OP_T, 0, OP_T - 1)
                 base = ch * (OP_T * 3) + idx * 3
-                a = ops_ref[0, base]
-                b = ops_ref[0, base + 1]
-                cw = ops_ref[0, base + 2]
+                a = ops_ref[base]
+                b = ops_ref[base + 1]
+                cw = ops_ref[base + 2]
                 lr = jnp.where(can, a & 0x3FFF, lr)
                 cr = jnp.where(can, (a >> 14) & 0x3FFF, cr)
                 eff = jnp.where(can, jnp.maximum(b, 1), eff)
@@ -358,20 +369,21 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
 )
 def execute_chained(ops_flat, counts, arena, nchain: int, cap_pc: int,
                     out_base_row: int, chain_rows: int, n_arena_rows: int):
-    """Run the chained executor.  ops_flat: [n_tiles, nchain * OP_T * 3]
-    tile-major op words.  arena: [n_arena_rows, 128] int32 packed bytes with
-    a guard row at row 0 and the compressed lanes at rows
-    [1, out_base_row).  Returns the arena with the output region filled."""
+    """Run the chained executor.  ops_flat: [n_tiles * tile_words(nchain)]
+    tile-major op words (flat 1D with each tile zero-padded to a 1024-word
+    multiple: Mosaic tiles 1D memrefs by 1024 and the grid-stepped block
+    must divide evenly; the >=2D (8, 128) rule is no easier to satisfy
+    here).  arena: [n_arena_rows, 128] int32 packed bytes with a guard row
+    at row 0 and the compressed lanes at rows [1, out_base_row).  Returns
+    the arena with the output region filled."""
     grid = (cap_pc // OP_T,)
-    # ops come in as [n_tiles, nchain*OP_T*3] so each grid step's SMEM block
-    # matches the full minor dimension (Mosaic rejects 1D blocks that do not
-    # tile the array evenly).
+    tile_w = tile_words(nchain)
     kernel = pl.pallas_call(
         _make_chain_kernel(nchain, out_base_row, chain_rows, n_arena_rows),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nchain * OP_T * 3), lambda t: (t, 0),
+            pl.BlockSpec((tile_w,), lambda t: (t,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n_arena_rows, 128), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -419,11 +431,15 @@ def _decode_block_jit(comp_lanes, lens, n_rows: int, pc: int, seg: int,
         *emits, spc=spc, cap_pc=cap_pc, pc=pc, nchain=nchain
     )
     n_tiles = cap_pc // OP_T
-    ops_flat = (
+    tiles = (
         ops.reshape(nchain, n_tiles, OP_T, 3)
         .transpose(1, 0, 2, 3)
         .reshape(n_tiles, nchain * OP_T * 3)
     )
+    tw = tile_words(nchain)
+    ops_flat = jnp.pad(
+        tiles, ((0, 0), (0, tw - nchain * OP_T * 3))
+    ).reshape(n_tiles * tw)
 
     # Arena: guard row (negative-window clamp target), per-lane comp bytes
     # packed 4-per-word, then the output region.

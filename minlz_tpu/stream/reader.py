@@ -442,8 +442,22 @@ class Reader:
                     return self._device_codec.decode(
                         body[pos - 1 :], hints, want
                     )
-                except CorruptError:
-                    pass  # fall through to host decode
+                except Exception as exc:  # noqa: BLE001
+                    # Device decode is an optimization, never a semantics
+                    # change: ANY failure (corrupt hints, but also kernel
+                    # lowering/compile/runtime errors) falls back to host
+                    # decode.  The reference never lets an optimized path's
+                    # failure kill the stream (/root/reference/decode.go:59).
+                    if not isinstance(exc, CorruptError):
+                        import warnings
+
+                        warnings.warn(
+                            "device decode failed "
+                            f"({type(exc).__name__}: {exc}); "
+                            "falling back to host decode",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
         if self._backend is not None:
             return self._backend(b"\x00" + body)
         return blockapi.decode(b"\x00" + body)

@@ -1,0 +1,133 @@
+"""Chained decode executor (ops/exec_chain.py) correctness tests.
+
+Ported from the one-shot scripts/debug_chain*.py harnesses (r2 advisor
+finding): the realign/length sweep guards the uint32>>int32 arithmetic-shift
+regression in window(), and the oracle-differential round-trips exercise
+single- and multi-chain geometries end-to-end.  Runs in CPU interpret mode;
+the real-TPU lowering of the same entry points is covered by
+tests/test_tpu_smoke.py under MINLZ_TEST_TPU=1.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from minlz_tpu.ops import exec_chain as ec
+
+ROW = ec.ROW_B
+OP_T = ec.OP_T
+
+# Arena geometry shared by the micro-tests: 1 guard row + 4 compressed rows
+# + 4 output rows + 2 slack rows.
+COMP_ROWS, OUT_ROWS = 4, 4
+N_ARENA = 1 + COMP_ROWS + OUT_ROWS + 2
+COMP = (np.arange(COMP_ROWS * ROW, dtype=np.uint32) % 251).astype(np.uint8)
+
+
+def run_ops(op_list):
+    """Execute a single-chain op list against the known byte-ramp arena.
+
+    op_list entries: (llen, clen, csrc, lsrc_global_byte).  Returns the
+    decoded output bytes.
+    """
+    cap_pc = OP_T
+    ops = np.zeros((1, cap_pc, 3), np.int32)
+    for k, (llen, clen, csrc, ls) in enumerate(op_list):
+        ops[0, k, 0] = llen | (clen << 14)
+        ops[0, k, 1] = csrc
+        ops[0, k, 2] = ls
+    counts = np.array([len(op_list)], np.int32)
+    ops_flat = np.zeros(ec.tile_words(1), np.int32)
+    ops_flat[: cap_pc * 3] = ops.reshape(cap_pc * 3)
+    arena = np.zeros((N_ARENA, 128), np.int32)
+    cw = COMP.reshape(-1, 128, 4).astype(np.int32)
+    arena[1 : 1 + COMP_ROWS] = (
+        cw[:, :, 0]
+        | (cw[:, :, 1] << 8)
+        | (cw[:, :, 2] << 16)
+        | (cw[:, :, 3] << 24)
+    )
+    out = ec.execute_chained(
+        jnp.asarray(ops_flat),
+        jnp.asarray(counts),
+        jnp.asarray(arena),
+        nchain=1,
+        cap_pc=cap_pc,
+        out_base_row=1 + COMP_ROWS,
+        chain_rows=OUT_ROWS,
+        n_arena_rows=N_ARENA,
+    )
+    ob = np.asarray(out[1 + COMP_ROWS :]).view(np.uint32).view(np.uint8)
+    return ob.reshape(-1)
+
+
+@pytest.mark.parametrize("align", [0, 1, 2, 3, 5, 7])
+@pytest.mark.parametrize("llen", [1, 3, 26, 511, 513])
+def test_literal_alignment_sweep(align, llen):
+    """Literal window reads at every byte alignment: catches the signed
+    right-shift realign bug (window() must shift unsigned)."""
+    ls = ROW + align  # global byte address of the literal source
+    got = run_ops([(llen, 0, 0, ls)])
+    want = COMP[align : align + llen]
+    assert (got[:llen] == want).all(), (align, llen)
+
+
+@pytest.mark.parametrize(
+    "offset,clen",
+    [(1, 5), (1, 100), (2, 37), (3, 64), (7, 29), (64, 200), (300, 513)],
+)
+def test_copy_offsets(offset, clen):
+    """Copies incl. RLE overlap (offset < length): eff-doubling path."""
+    seed = max(64, offset)  # copy source must stay inside the chain output
+    got = run_ops([(seed, clen, offset, ROW)])
+    want = bytearray(COMP[:seed])
+    for _ in range(clen):
+        want.append(want[-offset])
+    assert bytes(got[: seed + clen]) == bytes(want)
+
+
+def test_copy_zero_literal_op():
+    """lr == 0 ops must run their copy in the same slot (r2 fix: the copy
+    sub-slot gate is lr == 0, not 'literal ran')."""
+    got = run_ops([(16, 0, 0, ROW), (0, 8, 4, ROW)])
+    want = bytearray(COMP[:16])
+    for _ in range(8):
+        want.append(want[-4])
+    assert bytes(got[:24]) == bytes(want)
+
+
+def test_row_crossing_literal_then_copy():
+    """A literal run crossing a 512B row boundary must finish before its
+    own op's copy starts."""
+    got = run_ops([(500, 0, 0, ROW), (30, 40, 10, ROW + 500)])
+    want = bytearray(COMP[:530])
+    for _ in range(40):
+        want.append(want[-10])
+    assert bytes(got[:570]) == bytes(want)
+
+
+def _roundtrip(nkb: int):
+    from minlz_tpu.oracle import decode as odec
+    from minlz_tpu.ops.device_codec import split_body
+    from minlz_tpu.ops.encode_kernel import encode_block_device
+
+    twain = open("testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()
+    data = (twain * 40)[: nkb << 10]
+    seg, rng = 4096, ec.RANGE
+    block, hints = encode_block_device(data, seg, rng)
+    assert odec.decode_block(block) == data
+    _, want, pos = odec.parse_header(block)
+    segs = split_body(block[pos:], [h[0] for h in hints])
+    got = ec.decode_block_chained(segs, len(data), seg, rng)
+    assert got == data
+
+
+def test_differential_roundtrip_single_chain():
+    _roundtrip(32)  # 8 segments -> nchain == 1
+
+
+def test_differential_roundtrip_multi_chain():
+    nkb = 160  # 40 segments -> 2 ranges -> nchain == 2
+    spc, nchain = ec.chain_geometry(40, 4096)
+    assert nchain == 2
+    _roundtrip(nkb)
