@@ -132,7 +132,7 @@ def main():
 
     from minlz_tpu.oracle import decode as odec
     from minlz_tpu.ops import encode_kernel as ek
-    from minlz_tpu.ops import pallas_decode as pdk
+    from minlz_tpu.ops import exec_chain as ec
     from minlz_tpu.ops.device_codec import split_body
     from minlz_tpu.stream import Reader, Writer
 
@@ -154,8 +154,10 @@ def main():
     ]
 
     def enc_step(flat_u8):
+        # rng=RANGE clamps match sources to 128KiB ranges (parse-hints v2)
+        # so the decode phase can run the chained parallel executor.
         flat = flat_u8.astype(jnp.int32)
-        dist, _ = ek.find_matches_dyn(flat, block_size, seg)
+        dist, _ = ek.find_matches_dyn(flat, block_size, seg, ec.RANGE)
         return dist
 
     import contextlib
@@ -179,7 +181,7 @@ def main():
     blocks_enc = []
     all_hints = []
     for b, dist_np in zip(blocks, dists):
-        body, hints = codec.parse_serialize(b, dist_np, seg)
+        body, hints = codec.parse_serialize(b, dist_np, seg, ec.RANGE)
         blocks_enc.append(body)
         all_hints.append(hints)
     t_enc_host = time.perf_counter() - t0
@@ -198,44 +200,32 @@ def main():
             break
 
     # ---------------- Decode device phase ---------------------------------
-    # Prepare parse inputs once (device-resident), then time the pipeline.
+    # Times the chained parallel executor (ops/exec_chain.py): transducer
+    # parse -> per-chain op compaction -> C-chain lockstep execution, all in
+    # one jit over device-resident inputs.
     segs0 = split_body(blocks_enc[0], [h[0] for h in all_hints[0]])
+    nseg = len(segs0)
+    spc, nchain = ec.chain_geometry(nseg, seg, ec.RANGE)
+    lanes = 128 * -(-(nchain * spc) // 128)
     pc_data = max(len(sb) for sb in segs0)
-    n_rows = -(-(pc_data + 1) // pdk.ROW_TILE) * pdk.ROW_TILE
-    pc = n_rows + pdk.MARGIN
-    lens = np.zeros((pdk.SUB, 128), np.int32)
-    comp = np.zeros((n_rows, pdk.B_LANES), np.uint8)
+    n_rows = -(-(pc_data + 1) // 512) * 512
+    pc = n_rows + ec.ROW_B
+    lens = np.zeros((lanes // 128, 128), np.int32)
+    comp_lanes = np.zeros((lanes, pc), np.uint8)
     for i, sb in enumerate(segs0):
         a = np.frombuffer(sb, np.uint8)
-        comp[: len(a), i] = a
+        comp_lanes[i, : len(a)] = a
         lens[i // 128, i % 128] = len(a)
-    comp_d = jnp.asarray(comp)  # uint8, shipped once
+    cap_pc = spc * (seg // 2 + 2)
+    cap_pc = -(-cap_pc // ec.OP_T) * ec.OP_T
+    out_rows = nchain * spc * seg // ec.ROW_B
+    comp_d = jnp.asarray(comp_lanes)  # uint8, shipped once
     lens_d = jnp.asarray(lens)
 
-    total_comp0 = sum(len(sb) for sb in segs0)
-    bound = total_comp0 // 2 + len(segs0) + 1
-    max_ops = -(-bound // pdk.OP_TILE) * pdk.OP_TILE
-    max_ops = max(max_ops, pdk.OP_TILE)
-    seg_rows = seg // 128
-    n_out_rows = len(segs0) * seg_rows + 8
-
-    def dec_step(comp_u8, lens_d):
-        # On-device input prep (word packing + per-lane flat layout) is part
-        # of real decode cost and stays inside the timed step.
-        c = comp_u8.astype(jnp.int32)
-        shifts = (
-            jnp.asarray([1, 1 << 8, 1 << 16, 1 << 24], jnp.int32)
-        )[None, :, None, None]
-        words_d = (
-            c.reshape(n_rows // 4, 4, pdk.SUB, 128) * shifts
-        ).sum(axis=1)
-        comp_flat = jnp.pad(c.T.reshape(pdk.B_LANES, n_rows),
-                            ((0, 0), (0, pc - n_rows)))
-        emits = pdk.parse_segments_pallas(words_d, lens_d, n_rows)
-        packed, n_real = pdk.compact_ops(*emits, max_ops)
-        return pdk.execute_ops_pallas(
-            packed, n_real, comp_flat.reshape(-1, 128), max_ops, pc,
-            n_out_rows, seg_rows,
+    def dec_step(cl, ln):
+        return ec._decode_block_jit(
+            cl, ln, n_rows=n_rows, pc=pc, seg=seg, spc=spc, nchain=nchain,
+            cap_pc=cap_pc, out_rows=out_rows,
         )
 
     t_dec_dev, out_dev = timed_device(
@@ -244,8 +234,12 @@ def main():
     t_dec_dev_total = t_dec_dev * n_blocks
 
     # Decode correctness for the timed block.
-    out_np = np.asarray(out_dev).astype(np.uint8).reshape(-1)[:block_size]
-    ok = ok and out_np.tobytes() == blocks[0]
+    comp_rows = lanes * pc // ec.ROW_B
+    out_np = np.ascontiguousarray(
+        np.asarray(out_dev[1 + comp_rows : 1 + comp_rows + out_rows])
+    )
+    out_bytes = out_np.view(np.uint32).view(np.uint8).reshape(-1)
+    ok = ok and out_bytes[:block_size].tobytes() == blocks[0]
 
     # ---------------- Stream-layer roundtrip (small, end-to-end) ----------
     small = corpus[: 1 << 20]
