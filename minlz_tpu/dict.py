@@ -56,19 +56,22 @@ class Dict:
         return cls(buf[pos : pos + n])
 
 
-def encode_with_dict(src, d: Dict, table_bits: int = 16) -> bytes:
+def encode_with_dict(src, d: Dict, level: int = 2,
+                     table_bits: int = 16) -> bytes:
     """Encode ``src`` with dictionary context.
 
-    Implementation: run the greedy encoder over dict||src, emit tokens only
-    for the src region (offsets may reach into the dictionary).
+    Levels -1..3 run the native optimal-parse encoder with the dictionary
+    pre-seeded as match context (reference dict-candidate analog:
+    encode_l2.go:607, encode_l3.go:278-296); falls back to the greedy
+    Python path if the native codec is unavailable.
     """
     src = bytes(src)
+    from .native.codec import get_codec
+
+    codec = get_codec()
+    if codec is not None and hasattr(codec._lib, "minlz_encode_block_dict"):
+        return codec.encode_block_dict(src, d.bytes, level)
     combined = d.bytes + src
-    # Encode combined, then strip: simplest correct approach is to encode
-    # with the oracle but force the first len(dict) bytes to be skipped.
-    # We reuse the oracle encoder on the combined buffer and re-emit only
-    # tokens whose output lies in the src region; to keep token boundaries
-    # aligned we restart emission at the src start.
     dst = bytearray(b"\x00" + put_uvarint(len(src)))
     body = _encode_dict_body(combined, len(d), table_bits)
     if body is None or len(body) >= len(src):

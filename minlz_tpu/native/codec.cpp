@@ -42,8 +42,11 @@ inline void store32(uint8_t* p, uint32_t v) { memcpy(p, &v, 4); }
 // ---------------------------------------------------------------------------
 
 // Returns bytes written to dst, or -1 on corrupt input.
-long decode_body(const uint8_t* src, size_t slen, uint8_t* dst, size_t want) {
-  size_t s = 0, d = 0;
+long decode_body(const uint8_t* src, size_t slen, uint8_t* dst, size_t want,
+                 size_t d0 = 0) {
+  // d0: window seed length — dst[0, d0) holds pre-loaded context (dict
+  // decode); `want` includes it.  Copies may reach back into the seed.
+  size_t s = 0, d = d0;
   uint32_t offset = 1;
 
   while (s < slen) {
@@ -666,13 +669,17 @@ struct Dp {
 }  // namespace optimal
 
 // Optimal-parse encoder.  beam: arrival states kept per position (keyed by
-// repeat offset); chain: hash-chain search depth.  Returns -1 on overflow
-// (incompressible under dst_limit).
+// repeat offset); chain: hash-chain search depth.  ctx: length of a
+// dictionary/context prefix at the start of `src` — those bytes are indexed
+// as match sources but not encoded (reference analog: the dict-candidate
+// paths in encode_l2.go:607 / encode_l3.go:278-296).  Returns -1 on
+// overflow (incompressible under dst_limit).
 long encode_optimal(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
-                    int beam, int chain_depth) {
+                    int beam, int chain_depth, size_t ctx = 0) {
   using namespace optimal;
-  const size_t dst_limit = n - 5;
-  if (n < 16) return -1;
+  const size_t n_src = n - ctx;
+  const size_t dst_limit = n_src - 5;
+  if (n_src < 16) return -1;
 
   // Beam scaling keeps the DP state array bounded (~24B * n * beam).
   if (n > (1u << 20)) beam = beam > 2 ? 2 : beam;
@@ -686,15 +693,22 @@ long encode_optimal(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
   dp.st.assign((n + 1) * (size_t)beam, Slot{});
   // Initial repeat offset is 1 per SPEC (decoder starts with rep = 1), so a
   // leading RLE run can use repeat ops immediately.
-  dp.push(0, 1, 0, 0, 0);
+  dp.push(ctx, 1, 0, 0, 0);
 
   const size_t match_limit = n >= 8 ? n - 8 : 0;
+
+  // Pre-seed the chains with the context prefix (sources only).
+  for (size_t i = 0; i < ctx && i < match_limit; i++) {
+    uint32_t h = hash4(load32(src + i), hbits);
+    prev[i] = head[h];
+    head[h] = (int32_t)i;
+  }
 
   // Candidate buffer per position: best (longest, then nearest) match per
   // offset cost class: [0] <=1024, [1] <=65599, [2] <=kMaxOffset.
   uint32_t cand_off[3], cand_len[3];
 
-  for (size_t i = 0; i < n; i++) {
+  for (size_t i = ctx; i < n; i++) {
     Slot* cur = dp.at(i);
 
     // --- find candidates at i (once; shared by all slots) ---
@@ -809,7 +823,7 @@ long encode_optimal(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
   {
     size_t i = n;
     int k = bk;
-    while (i > 0) {
+    while (i > ctx) {
       uint64_t e = dp.at(i)[k].parent;
       uint32_t type = (uint32_t)(e & 3);
       uint32_t slot = (uint32_t)((e >> 2) & 7);
@@ -822,7 +836,7 @@ long encode_optimal(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
   }
 
   // Emit forward, merging literal steps into runs.
-  size_t pos = 0, run = 0;
+  size_t pos = ctx, run = 0;
   for (size_t e = edges.size(); e-- > 0;) {
     const Edge& ed = edges[e];
     switch (ed.type) {
@@ -950,6 +964,70 @@ MINLZ_EXPORT long minlz_encode_block(const uint8_t* src, size_t n,
   memcpy(dst, hdr, hl);
   memcpy(dst + hl, body.data(), body.size());
   return (long)(hl + body.size());
+}
+
+// Dictionary encode: `combined` = dict || src (ctx = dict length).  Copies
+// may reach back into the dictionary; output is a block for src only.
+// Levels map to the optimal-parse effort ladder (reference dict-candidate
+// analog: encode_l2.go:607 / encode_l3.go:278-296,382-395).
+MINLZ_EXPORT long minlz_encode_block_dict(const uint8_t* combined, size_t n,
+                                          size_t ctx, uint8_t* dst,
+                                          size_t dcap, int level) {
+  if (n > kMaxBlock + (64u << 10) || ctx > n) return -1;
+  const size_t n_src = n - ctx;
+  auto uncompressed = [&]() -> long {
+    if (n_src + 2 > dcap) return -2;
+    dst[0] = 0;
+    dst[1] = 0;
+    memcpy(dst + 2, combined + ctx, n_src);
+    return (long)(n_src + 2);
+  };
+  if (n_src <= 16) return uncompressed();
+  std::vector<uint8_t> body;
+  body.reserve(n_src / 2);
+  int beam = level >= 3 ? 8 : level == 2 ? 4 : 2;
+  int chain = level >= 3 ? 192 : level == 2 ? 64 : level == 1 ? 32 : 16;
+  long blen = encode_optimal(combined, n, body, beam, chain, ctx);
+  if (blen < 0) return uncompressed();
+  uint8_t hdr[12];
+  size_t hl = 1;
+  hdr[0] = 0;
+  hl += put_uvarint(hdr + 1, n_src);
+  if (hl + body.size() > dcap) return -2;
+  memcpy(dst, hdr, hl);
+  memcpy(dst + hl, body.data(), body.size());
+  return (long)(hl + body.size());
+}
+
+// Dictionary decode: dst capacity must cover ctx + decoded size; the caller
+// pre-fills dst[0, ctx) with the dictionary and reads the tail.  Returns
+// bytes decoded (excluding ctx) or negative on error.
+MINLZ_EXPORT long minlz_decode_block_dict(const uint8_t* src, size_t slen,
+                                          uint8_t* dst, size_t dcap,
+                                          size_t ctx) {
+  if (slen == 0 || src[0] != 0) return -1;
+  if (slen == 1) return 0;
+  size_t pos = 1;
+  uint64_t want = 0;
+  int shift = 0;
+  while (true) {
+    if (pos >= slen || shift > 63) return -1;
+    uint8_t b = src[pos++];
+    want |= (uint64_t)(b & 0x7F) << shift;
+    if (!(b & 0x80)) break;
+    shift += 7;
+  }
+  if (want > kMaxBlock) return -1;
+  if (want == 0) {
+    size_t nn = slen - pos;
+    if (ctx + nn > dcap) return -2;
+    memcpy(dst + ctx, src + pos, nn);
+    return (long)nn;
+  }
+  if (want < slen - pos) return -1;
+  if (ctx + want > dcap) return -2;
+  long d = decode_body(src + pos, slen - pos, dst, ctx + want, ctx);
+  return d < 0 ? d : d - (long)ctx;
 }
 
 }  // extern "C"

@@ -27,6 +27,36 @@ class _NativeCodec:
             raise ValueError(f"native encode failed ({wrote})")
         return out.raw[:wrote]
 
+    def encode_block_dict(self, src: bytes, dict_bytes: bytes,
+                          level: int) -> bytes:
+        """Dict-aware optimal-parse encode: copies may reach back into the
+        dictionary prefix."""
+        combined = bytes(dict_bytes) + bytes(src)
+        cap = max(len(src) + 16, 32)
+        out = ctypes.create_string_buffer(cap)
+        wrote = self._lib.minlz_encode_block_dict(
+            combined, len(combined), len(dict_bytes), out, cap, level
+        )
+        if wrote < 0:
+            raise ValueError(f"native dict encode failed ({wrote})")
+        return out.raw[:wrote]
+
+    def decode_block_dict(self, src: bytes, dict_bytes: bytes) -> bytes:
+        """Decode a dict-encoded block (window seeded with the dict)."""
+        from ..oracle.decode import decoded_len
+
+        want = decoded_len(src)
+        ctx = len(dict_bytes)
+        cap = ctx + max(want, 1)
+        out = ctypes.create_string_buffer(cap)
+        ctypes.memmove(out, bytes(dict_bytes), ctx)
+        wrote = self._lib.minlz_decode_block_dict(
+            src, len(src), out, cap, ctx
+        )
+        if wrote < 0:
+            raise ValueError(f"native dict decode failed ({wrote})")
+        return out.raw[ctx : ctx + wrote]
+
     def serialize_ops(self, src: bytes, pos, off, ln, isrep, count: int,
                       seg: int):
         """Native op-list serializer.  Returns (body, hints) or None."""
@@ -114,6 +144,17 @@ def get_codec():
         ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_char_p, ctypes.c_size_t,
     ]
+    if hasattr(lib, "minlz_encode_block_dict"):
+        lib.minlz_encode_block_dict.restype = ctypes.c_long
+        lib.minlz_encode_block_dict.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ]
+        lib.minlz_decode_block_dict.restype = ctypes.c_long
+        lib.minlz_decode_block_dict.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+        ]
     if hasattr(lib, "minlz_parse_serialize"):
         lib.minlz_parse_serialize.restype = ctypes.c_long
         lib.minlz_parse_serialize.argtypes = [

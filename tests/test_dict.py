@@ -29,6 +29,31 @@ def test_dict_size_limits():
         Dict(b"x" * 70000)
 
 
+@pytest.mark.parametrize("level", [-1, 1, 2, 3])
+def test_dict_levels_beat_nondict(twain, level):
+    """Dict-aware optimal parse at every level: beats the same-level
+    non-dict encode and round-trips via both oracle and native decoders."""
+    from minlz_tpu import block as blockapi
+    from minlz_tpu.native.codec import get_codec
+
+    d = Dict(twain[:8192])
+    data = twain[4096:]
+    enc = encode_with_dict(data, d, level=level)
+    assert decode_with_dict(enc, d) == data
+    codec = get_codec()
+    if codec is not None:
+        assert codec.decode_block_dict(enc, d.bytes) == data
+    assert len(enc) < len(blockapi.encode(data, level=level))
+
+
+def test_dict_level_ladder(twain):
+    """Higher levels never produce larger dict-encoded output."""
+    d = Dict(twain[:8192])
+    data = twain[4096:]
+    sizes = [len(encode_with_dict(data, d, level=lv)) for lv in (-1, 1, 2, 3)]
+    assert sizes == sorted(sizes, reverse=True) or len(set(sizes)) < 4
+
+
 def test_dict_marshal(twain):
     d = Dict(twain[:1000])
     assert Dict.load(d.marshal()).bytes == d.bytes
