@@ -1,5 +1,17 @@
 """Multi-chip / multi-host scaling for TPU-MinLZ."""
 
-from .mesh import make_mesh, sharded_decode_parse, sharded_pipeline_step
+from .mesh import (
+    assemble_blocks,
+    make_mesh,
+    sharded_decode_parse,
+    sharded_encode_blocks,
+    sharded_pipeline_step,
+)
 
-__all__ = ["make_mesh", "sharded_decode_parse", "sharded_pipeline_step"]
+__all__ = [
+    "assemble_blocks",
+    "make_mesh",
+    "sharded_decode_parse",
+    "sharded_encode_blocks",
+    "sharded_pipeline_step",
+]

@@ -68,6 +68,75 @@ def sharded_decode_parse(mesh: Mesh, comp_mat, comp_lens):
     return jax.jit(fn)(comp_mat, comp_lens)
 
 
+def sharded_encode_blocks(mesh: Mesh, data_blocks, n_valid, seg: int = 4096,
+                          rng: int = 0):
+    """End-to-end data-parallel block encode over a mesh: REAL bytes out.
+
+    data_blocks: [n_blocks, N] int32 byte array (N window-padded), sharded
+    over the mesh's first axis; n_valid: [n_blocks] int32 valid byte counts.
+
+    Per device: match find -> greedy parse -> byte-exact verify -> token
+    emission (ops/emit.py), all on device.  Per-block compressed sizes are
+    all-gathered over ICI and exclusive-scanned into deterministic stream
+    offsets — the reference's ordered channel-of-channels (writer.go:214-272)
+    replaced by a collective prefix sum.
+
+    Returns (seg_bytes [n_blocks, nseg, seg+PAD] uint8,
+             seg_lens [n_blocks, nseg] int32,
+             block_sizes [n_blocks] int32,
+             stream_offsets [n_blocks] int32).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import emit
+
+    axis = mesh.axis_names[0]
+
+    def per_device(blocks, valid):
+        def one(b, nv):
+            return emit.encode_block_emit(b[None, :], nv, seg, rng)
+
+        out, lens = jax.vmap(one)(blocks, valid)
+        sizes = jnp.sum(lens, axis=1)
+        all_sizes = jax.lax.all_gather(sizes, axis).reshape(-1)
+        offsets = jnp.cumsum(all_sizes) - all_sizes
+        my = jax.lax.axis_index(axis)
+        local = sizes.shape[0]
+        my_offs = jax.lax.dynamic_slice(offsets, (my * local,), (local,))
+        return out, lens, sizes, my_offs
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None, None), P(axis, None), P(axis), P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(fn)(data_blocks, n_valid)
+
+
+def assemble_blocks(seg_bytes, seg_lens, n_valid, seg: int = 4096):
+    """Host assembly: per-block spec-valid MinLZ blocks from sharded
+    emission output (None entry = incompressible, caller stores raw)."""
+    from ..minlz import put_uvarint
+
+    seg_bytes = np.asarray(seg_bytes)
+    seg_lens = np.asarray(seg_lens)
+    blocks = []
+    for bi in range(seg_bytes.shape[0]):
+        n = int(n_valid[bi])
+        nseg = -(-n // seg)
+        body = b"".join(
+            seg_bytes[bi, i, : seg_lens[bi, i]].tobytes()
+            for i in range(nseg)
+        )
+        if len(body) >= n:
+            blocks.append(None)
+        else:
+            blocks.append(b"\x00" + put_uvarint(n) + body)
+    return blocks
+
+
 def sharded_pipeline_step(mesh: Mesh, data_blocks, n_valid, seg: int = 4096):
     """One data-parallel encode pipeline step over a mesh.
 
