@@ -100,49 +100,91 @@ def marshal_compressed_table(cfg, block_size: int, table: bytes,
     nblocks = n // bs
     subs = [table[i * bs : (i + 1) * bs] for i in range(nblocks)]
 
-    # One shared huff0 table over the bytes of all non-RLE/non-sparse blocks.
-    counts = [0] * 256
-    arr = np.frombuffer(table, np.uint8)
-    cnt = np.bincount(arr, minlength=256)
-    for i in range(256):
-        counts[i] = int(cnt[i])
-    built = huff0.build_ctable(counts)
-    header_tab, ctable = built if built is not None else (None, None)
+    # Up to 16 huff0 tables (wire format + reference
+    # search_compressed.go:184-197): group consecutive sub-blocks by
+    # distribution, opening a new group when cross-entropy under the
+    # running group's histogram costs more than a fresh table header.
+    hists = [np.bincount(np.frombuffer(s, np.uint8), minlength=256)
+             for s in subs]
+
+    def _entropy_bytes(c, q_hist):
+        tot = int(q_hist.sum())
+        if tot == 0:
+            return 0.0
+        q = (q_hist + 1) / (tot + 256)
+        nz = c > 0
+        return float(-(c[nz] * np.log2(q[nz])).sum()) / 8.0
+
+    TABLE_HDR_COST = 48.0  # typical serialized huff0 table size
+    groups = []  # list of [start, end) over subs
+    acc = None
+    for i, h in enumerate(hists):
+        if acc is None:
+            groups.append([i, i + 1])
+            acc = h.astype(np.int64).copy()
+            continue
+        cross = _entropy_bytes(h, acc)
+        own = _entropy_bytes(h, h)
+        if cross - own > TABLE_HDR_COST and len(groups) < 16:
+            groups.append([i, i + 1])
+            acc = h.astype(np.int64).copy()
+        else:
+            groups[-1][1] = i + 1
+            acc += h
+
+    tables = []  # (header_tab, ctable) per group (None = unusable)
+    group_of = [0] * nblocks
+    for gi, (a, b) in enumerate(groups):
+        counts = np.zeros(256, np.int64)
+        for i in range(a, b):
+            counts += hists[i]
+            group_of[i] = gi
+        built = huff0.build_ctable([int(x) for x in counts])
+        tables.append(built)
 
     blocks_out = []
-    used_table = False
-    for sub in subs:
+    used = set()
+    for si, sub in enumerate(subs):
         a = np.frombuffer(sub, np.uint8)
         if (a == a[0]).all():
-            blocks_out.append(bytes([DISP_RLE, a[0]]))
+            blocks_out.append((None, bytes([DISP_RLE, a[0]])))
             continue
-        candidates = [bytes([DISP_RAW]) + sub]
+        candidates = [(None, bytes([DISP_RAW]) + sub)]
         spop = int(np.unpackbits(a).sum())
         if spop + (bs * 8 - spop) // 255 < bs:
             sp = sparse_encode(sub)
-            candidates.append(bytes([DISP_SPARSE]) + put_uvarint(len(sp)) + sp)
-        if ctable is not None:
-            enc = huff0.encode_4x(ctable, sub)
+            candidates.append(
+                (None, bytes([DISP_SPARSE]) + put_uvarint(len(sp)) + sp)
+            )
+        built = tables[group_of[si]]
+        if built is not None:
+            enc = huff0.encode_4x(built[1], sub)
             if enc is not None and len(enc) < bs:
-                candidates.append(bytes([0]) + put_uvarint(len(enc)) + enc)
-        best = min(candidates, key=len)
-        if best[0] == 0:
-            used_table = True
-        blocks_out.append(best)
+                candidates.append(
+                    (group_of[si], put_uvarint(len(enc)) + enc)
+                )
+        ti, best = min(candidates, key=lambda c: len(c[1]))
+        if ti is not None:
+            used.add(ti)
+        blocks_out.append((ti, best))
 
+    # Drop unused tables, remap indices densely.
+    remap = {gi: k for k, gi in enumerate(sorted(used))}
     payload = bytearray([cfg.table_type, cfg.match_len,
                          cfg.auto_bits(block_size)])
     payload += cfg._prefix_field()
     payload.append(reductions)
     payload += crc(table).to_bytes(4, "little")
     payload.append(h0_bs)
-    if used_table:
-        payload.append(1)
-        payload += header_tab
-    else:
-        payload.append(0)
-    for b in blocks_out:
-        payload += b
+    payload.append(len(remap))
+    for gi in sorted(used):
+        payload += tables[gi][0]
+    for ti, b in blocks_out:
+        if ti is None:
+            payload += b
+        else:
+            payload.append(remap[ti])
+            payload += b
 
     # Must beat the plain 0x45 representation to be worth emitting.
     if len(payload) >= len(table) + 12:

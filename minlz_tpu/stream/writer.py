@@ -350,11 +350,11 @@ class Writer:
 
     def _emit_search_block(self, data: bytes, overlap: bytes,
                            with_table: bool = True):
-        from ..search.build import build_table
+        from ..search.build import build_table_auto
 
         table_chunk = None
         if with_table:
-            res = build_table(
+            res = build_table_auto(
                 data, self._search_cfg, overlap, self._block_size
             )
             if res is not None:

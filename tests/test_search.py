@@ -423,3 +423,78 @@ def test_padding_src(twain):
     raw = buf.getvalue()
     assert len(raw) % 8192 == 0 and calls
     assert Reader(io.BytesIO(raw)).readall() == twain
+
+
+def test_device_builder_matches_numpy_all_matchlens(twain):
+    """The device (jnp) no-prefix builder must be bit-identical to the
+    NumPy builder for every spec match length — the 64-bit multiply-shift
+    hash family runs on 32-bit lanes via a mulhi emulation
+    (SPEC_SEARCH.md §3.1; reference search_index.go:20-66 + packBits)."""
+    from minlz_tpu.search.build import build_table, build_table_auto
+    from minlz_tpu.search.table import SearchTableConfig
+
+    block = twain[:8192]
+    for m in range(1, 9):
+        cfg = SearchTableConfig(match_len=m)
+        overlap = twain[8192 : 8192 + m]
+        a = build_table(block, cfg, overlap, 8192)
+        b = build_table_auto(block, cfg, overlap, 8192)
+        assert (a is None) == (b is None), m
+        if a is not None:
+            assert a == b, m
+
+
+def test_writer_uses_device_builder(twain):
+    """Writer search tables flow through build_table_auto (device builder
+    for the default no-prefix config) and stay searchable."""
+    import io
+
+    from minlz_tpu.search import BlockSearcher
+    from minlz_tpu.search.table import SearchTableConfig
+    from minlz_tpu.stream import Writer
+
+    buf = io.BytesIO()
+    w = Writer(
+        buf,
+        block_size=4096,
+        search_table=SearchTableConfig(match_len=6),
+        add_index=False,
+    )
+    w.write(twain)
+    w.close()
+    hits = []
+    BlockSearcher(io.BytesIO(buf.getvalue()), b"Tom Sawyer").search(
+        lambda r: hits.append(r)
+    )
+    assert hits, "pattern must be found through device-built tables"
+
+
+def test_compressed_table_multi_table():
+    """0x46 encoder groups sub-blocks into up to 16 huff0 tables
+    (reference search_compressed.go:184-197); a bitmap with two distinct
+    density regions must produce >1 table and round-trip bit-exact."""
+    import numpy as np
+
+    from minlz_tpu.search.compressed import (
+        marshal_compressed_table,
+        parse_compressed_table_chunk,
+    )
+    from minlz_tpu.search.table import SearchTableConfig, parse_table_header
+
+    cfg = SearchTableConfig(match_len=6)
+    bits = cfg.auto_bits(1 << 20)
+    nbits = 1 << bits
+    rng = np.random.default_rng(1)
+    half = nbits // 2
+    sparse = (rng.random(half) < 0.04).astype(np.uint8)
+    dense = (rng.random(half) < 0.35).astype(np.uint8)
+    bitmap = np.packbits(
+        np.concatenate([sparse, dense]), bitorder="little"
+    ).tobytes()
+    chunk = marshal_compressed_table(cfg, 1 << 20, bitmap, 0)
+    assert chunk is not None and len(chunk) < len(bitmap)
+    payload = chunk[4:]
+    _, _, _, table2 = parse_compressed_table_chunk(payload)
+    assert table2 == bitmap
+    _, _, pos = parse_table_header(payload)
+    assert payload[pos + 6] >= 2, "expected multiple huff0 tables"
