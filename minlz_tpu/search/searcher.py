@@ -2,8 +2,11 @@
 
 Parity surface: reference ``search_reader.go`` (chunk-driven state machine,
 table decision, window enumeration per type, first-window boundary rule,
-rolling decoded tail for straddling matches, stats).  Deferred-decode and
-compressed tables are roadmap items.
+rolling decoded tail for straddling matches, deferred decode, compressed
+0x46 tables, WindowStat-class statistics, and the forward-context protocol:
+a callback may return ``SEARCH_FORWARD`` to have the next block decoded and
+the same match re-delivered with extended context — reference
+ErrSearchForward, search_reader.go:179-182).
 """
 
 from __future__ import annotations
@@ -33,35 +36,106 @@ from .table import (
 )
 
 
+# Sentinel a search callback may return to request forward context: the
+# searcher decodes the next block and re-calls the callback with the same
+# match carrying extended ``context`` (reference ErrSearchForward protocol,
+# search_reader.go:179-182).
+SEARCH_FORWARD = object()
+
+
 @dataclass
 class SearchResult:
     offset: int  # uncompressed stream offset of the match
     block_start: int  # uncompressed offset of the containing block
+    context: bytes = b""  # decoded bytes around the match
+    context_start: int = 0  # uncompressed offset of context[0]
+
+
+@dataclass
+class WindowStat:
+    """Per-pattern-window table-presence counts across all tables seen
+    (reference search_reader.go:66-76)."""
+
+    pos: int  # start index of the window within the pattern
+    bytes: bytes = b""  # the match_len bytes that get hashed
+    present: int = 0  # tables with the bit set
+    absent: int = 0  # tables with the bit clear
 
 
 @dataclass
 class SearchStats:
+    """Reference-class search statistics (search_reader.go:17-180)."""
+
     blocks_total: int = 0
     blocks_skipped: int = 0
     blocks_decoded: int = 0
     blocks_no_table: int = 0
     blocks_deferred: int = 0
+    blocks_deferred_skipped: int = 0
+    blocks_false_positive: int = 0
+    blocks_boundary_scanned: int = 0
+    comp_bytes_skipped: int = 0
+    uncomp_bytes_searched: int = 0
     tables_seen: int = 0
+    tables_unusable: int = 0
     tables_compressed: int = 0
     table_bytes: int = 0
+    tables_compressed_bytes: int = 0
+    table_bits_sum: int = 0
+    table_reductions_sum: int = 0
+    table_pop_min: float = 100.0
+    table_pop_max: float = 0.0
+    table_pop_sum: float = 0.0
     matches: int = 0
+    windows: list = field(default_factory=list)  # list[WindowStat]
+
+    def _win(self, pos: int, wbytes: bytes) -> WindowStat:
+        for w in self.windows:
+            if w.pos == pos:
+                return w
+        w = WindowStat(pos=pos, bytes=wbytes)
+        self.windows.append(w)
+        return w
 
     def fprint(self, f) -> None:
+        total = max(self.blocks_total, 1)
+        dec = max(self.blocks_decoded, 1)
         f.write(
-            f"blocks: {self.blocks_total} skipped: {self.blocks_skipped}"
-            f" decoded: {self.blocks_decoded}"
-            f" deferred: {self.blocks_deferred}"
-            f" (no table: {self.blocks_no_table})\n"
-            f"tables: {self.tables_seen}"
-            f" ({self.tables_compressed} compressed,"
-            f" {self.table_bytes} bytes)"
-            f" matches: {self.matches}\n"
+            f"Blocks total: {self.blocks_total}, skipped: "
+            f"{self.blocks_skipped} "
+            f"({100 * self.blocks_skipped / total:.1f}%), deferred: "
+            f"{self.blocks_deferred} ({self.blocks_deferred_skipped} "
+            f"skipped)\n"
+            f"Blocks searched: {self.blocks_decoded} "
+            f"({100 * self.blocks_decoded / total:.1f}%), false positive: "
+            f"{self.blocks_false_positive} "
+            f"({100 * self.blocks_false_positive / dec:.1f}%), "
+            f"boundary-scanned: {self.blocks_boundary_scanned}\n"
+            f"Bytes skipped: {self.comp_bytes_skipped} compressed, "
+            f"searched: {self.uncomp_bytes_searched} uncompressed\n"
+            f"Tables: {self.tables_seen} present, {self.blocks_no_table} "
+            f"missing, {self.tables_unusable} unusable "
+            f"({self.tables_compressed} compressed, {self.table_bytes} "
+            f"bytes)\n"
         )
+        if self.tables_seen:
+            f.write(
+                f"Table bits avg: "
+                f"{self.table_bits_sum / self.tables_seen:.1f}, reductions "
+                f"avg: {self.table_reductions_sum / self.tables_seen:.1f}, "
+                f"population avg {self.table_pop_sum / self.tables_seen:.1f}"
+                f"% min {self.table_pop_min:.1f}% max "
+                f"{self.table_pop_max:.1f}%\n"
+            )
+        f.write(f"Matches: {self.matches}\n")
+
+    def fprint_extended(self, f) -> None:
+        self.fprint(f)
+        for w in sorted(self.windows, key=lambda w: w.pos):
+            f.write(
+                f"  window @{w.pos} {w.bytes!r}: present {w.present}, "
+                f"absent {w.absent}\n"
+            )
 
 
 class BlockSearcher:
@@ -83,6 +157,19 @@ class BlockSearcher:
         self._uoff = 0  # uncompressed offset of next block
         self._tail = b""  # rolling decoded tail for boundary straddles
         self._force_next = False  # previous decoded tail may start a match
+        self._forward = []  # matches awaiting forward context (callback
+        #                     returned SEARCH_FORWARD)
+
+    def _table_stats(self, table_info) -> None:
+        cfg, bits, reductions, table = table_info
+        st = self.stats
+        st.table_bits_sum += bits - reductions
+        st.table_reductions_sum += reductions
+        ones = sum(bin(b).count("1") for b in table)
+        pop = 100.0 * ones / max(len(table) * 8, 1)
+        st.table_pop_min = min(st.table_pop_min, pop)
+        st.table_pop_max = max(st.table_pop_max, pop)
+        st.table_pop_sum += pop
 
     # --- Table decision ----------------------------------------------------
 
@@ -124,9 +211,11 @@ class BlockSearcher:
             start = j + 1
         return wins, bool(wins)
 
-    def _window_presence(self, table_info):
+    def _window_presence(self, table_info, record=False):
         """{pattern window index: present?} for every window this table can
-        check.  Uncheckable windows are omitted (assumed present)."""
+        check.  Uncheckable windows are omitted (assumed present).  With
+        ``record`` the per-window presence counters are updated (once per
+        table: only the primary _decide call records)."""
         cfg, bits, reductions, table = table_info
         wins, usable = self._pattern_windows(cfg)
         if not usable:
@@ -139,14 +228,21 @@ class BlockSearcher:
             val = int.from_bytes(p[i : i + m], "little")
             h = hash_value(val, bits, m) & mask
             out[i] = bool(table[h >> 3] & (1 << (h & 7)))
+            if record:
+                w = self.stats._win(i, p[i : i + m])
+                if out[i]:
+                    w.present += 1
+                else:
+                    w.absent += 1
         return out
 
     def _decide(self, table_info) -> str:
         """Per-block decision: 'decode', 'skip', or 'boundary' (a match can
         only straddle into the next block — candidate for deferred decode,
         SPEC_SEARCH.md B.3)."""
-        presence = self._window_presence(table_info)
+        presence = self._window_presence(table_info, record=True)
         if presence is None:
+            self.stats.tables_unusable += 1
             return "decode"
         absent = [i for i, ok in presence.items() if not ok]
         if not absent:
@@ -221,6 +317,7 @@ class BlockSearcher:
                 self._pending_table = parse_table_chunk(payload)
                 self.stats.tables_seen += 1
                 self.stats.table_bytes += len(payload)
+                self._table_stats(self._pending_table)
             elif ctype == CHUNK_TYPE_SEARCH_TABLE_COMPRESSED:
                 from .compressed import parse_compressed_table_chunk
 
@@ -228,6 +325,8 @@ class BlockSearcher:
                 self.stats.tables_seen += 1
                 self.stats.tables_compressed += 1
                 self.stats.table_bytes += len(payload)
+                self.stats.tables_compressed_bytes += len(payload)
+                self._table_stats(self._pending_table)
             elif ctype in (
                 CHUNK_TYPE_MINLZ_COMPRESSED,
                 CHUNK_TYPE_MINLZ_COMPRESSED_CRC,
@@ -272,6 +371,8 @@ class BlockSearcher:
                     return True
             else:
                 self.stats.blocks_skipped += 1
+                self.stats.blocks_deferred_skipped += 1
+                self.stats.comp_bytes_skipped += len(d["payload"])
                 self._tail = b""
                 self._force_next = False
 
@@ -282,14 +383,17 @@ class BlockSearcher:
             decision = "decode"
         else:
             decision = self._decide(table_info)
-        if self._force_next:
-            # The previous decoded block ends with a potential pattern start;
-            # this block must be decoded to resolve the straddle
-            # (reference: ErrSearchForward protocol, search_reader.go:1034).
+        if (self._force_next or self._forward) and decision != "decode":
+            # The previous decoded block ends with a potential pattern start
+            # (or a callback asked for forward context); this block must be
+            # decoded regardless of the table's verdict (reference:
+            # boundary scan / ErrSearchForward, search_reader.go:1034).
+            self.stats.blocks_boundary_scanned += 1
             decision = "decode"
 
         if decision == "skip":
             self.stats.blocks_skipped += 1
+            self.stats.comp_bytes_skipped += len(payload)
             self._tail = b""
             self._uoff += dlen
             return False
@@ -320,19 +424,44 @@ class BlockSearcher:
             data = payload[4:]
         else:
             data = blockapi.decode(b"\x00" + payload[4:])
+        self.stats.uncomp_bytes_searched += len(data)
+
+        # Resolve matches waiting on forward context (callback returned
+        # SEARCH_FORWARD): re-deliver with this block's bytes appended.
+        if self._forward:
+            pending, self._forward = self._forward, []
+            for r in pending:
+                r.context = r.context + data
+                ret = callback(r) if callback is not None else None
+                if ret is False:
+                    return True
+                if ret is SEARCH_FORWARD:
+                    self._forward.append(r)
+
         hay = self._tail + data
         base = uoff - len(self._tail)
         start = 0
+        found = 0
         while True:
             j = hay.find(self._pattern, start)
             if j < 0:
                 break
-            r = SearchResult(offset=base + j, block_start=uoff)
+            r = SearchResult(
+                offset=base + j, block_start=uoff,
+                context=hay, context_start=base,
+            )
             results.append(r)
             self.stats.matches += 1
-            if callback is not None and callback(r) is False:
-                return True
+            found += 1
+            if callback is not None:
+                ret = callback(r)
+                if ret is False:
+                    return True
+                if ret is SEARCH_FORWARD:
+                    self._forward.append(r)
             start = j + 1
+        if not found:
+            self.stats.blocks_false_positive += 1
         keep = len(self._pattern) - 1
         self._tail = hay[len(hay) - keep :] if keep else b""
         # Straddle guard: if the tail ends with a proper pattern prefix, the

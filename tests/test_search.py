@@ -498,3 +498,70 @@ def test_compressed_table_multi_table():
     assert table2 == bitmap
     _, _, pos = parse_table_header(payload)
     assert payload[pos + 6] >= 2, "expected multiple huff0 tables"
+
+
+def test_search_forward_context(twain):
+    """Callback returning SEARCH_FORWARD gets the same match re-delivered
+    with the next block's bytes appended to context (reference
+    ErrSearchForward, search_reader.go:179-182)."""
+    import io
+
+    from minlz_tpu.search import SEARCH_FORWARD, BlockSearcher
+    from minlz_tpu.search.table import SearchTableConfig
+    from minlz_tpu.stream import Writer
+
+    buf = io.BytesIO()
+    w = Writer(
+        buf, block_size=4096,
+        search_table=SearchTableConfig(match_len=6), add_index=False,
+    )
+    w.write(twain)
+    w.close()
+
+    calls = []
+
+    def cb(r):
+        calls.append((r.offset, len(r.context)))
+        if len(calls) == 1:
+            return SEARCH_FORWARD
+        return False
+
+    s = BlockSearcher(io.BytesIO(buf.getvalue()), b"Tom Sawyer")
+    s.search(cb)
+    assert len(calls) >= 2
+    # Same match, strictly more context the second time.
+    assert calls[1][0] == calls[0][0]
+    assert calls[1][1] > calls[0][1]
+
+
+def test_search_stats_reference_class(twain):
+    """Expanded stats: window presence counts, populations, byte counters
+    (reference search_reader.go:17-180)."""
+    import io
+
+    from minlz_tpu.search import BlockSearcher
+    from minlz_tpu.search.table import SearchTableConfig
+    from minlz_tpu.stream import Writer
+
+    buf = io.BytesIO()
+    w = Writer(
+        buf, block_size=4096,
+        search_table=SearchTableConfig(match_len=6), add_index=False,
+    )
+    w.write(twain * 2)
+    w.close()
+    s = BlockSearcher(io.BytesIO(buf.getvalue()), b"nonexistent-zzz-string")
+    s.search()
+    st = s.stats
+    assert st.blocks_total > 0
+    assert st.tables_seen > 0
+    assert st.table_bits_sum > 0
+    assert 0.0 <= st.table_pop_min <= st.table_pop_max <= 100.0
+    assert st.windows and all(
+        w.present + w.absent == st.tables_seen for w in st.windows
+    )
+    assert st.blocks_skipped > 0  # absent pattern must skip blocks
+    assert st.comp_bytes_skipped > 0
+    out = io.StringIO()
+    st.fprint_extended(out)
+    assert "window @" in out.getvalue()
