@@ -77,6 +77,8 @@ def cmd_compress(args) -> int:
         if args.l2
         else minlz.LEVEL_FASTEST
     )
+    if getattr(args, "bench", 0):
+        return _compress_bench(args, level)
     for path in _expand(args.files):
         data = _read_input(path)
         if args.recomp:
@@ -110,6 +112,7 @@ def cmd_compress(args) -> int:
                 padding=args.pad,
                 device=args.device,
                 search_table=search_cfg,
+                concurrency=getattr(args, "cpu", 0) or None,
             ) as w:
                 w.encode_buffer(data)
             out = buf.getvalue()
@@ -123,6 +126,53 @@ def cmd_compress(args) -> int:
             f" {len(data) / max(dt, 1e-9) / 1e6:.0f} MB/s)"
         )
     return 0
+
+
+def _compress_bench(args, level) -> int:
+    """``mz c -bench=N [-verify]`` — repeat compression N times, report the
+    best rate; with -verify every round-trip is checked (reference
+    cmd/mz/compress.go:519-804)."""
+    for path in _expand(args.files):
+        data = _read_input(path)
+        best = 1e18
+        out = None
+        for _ in range(args.bench):
+            t0 = time.time()
+            buf = io.BytesIO()
+            with Writer(
+                buf, level=level, block_size=args.bs, add_index=args.index,
+                device=args.device,
+                concurrency=getattr(args, "cpu", 0) or None,
+            ) as w:
+                w.encode_buffer(data)
+            best = min(best, time.time() - t0)
+            out = buf.getvalue()
+            if args.verify:
+                dec = Reader(io.BytesIO(out)).readall()
+                if dec != data:
+                    print(f"{path}: VERIFY FAILED", file=sys.stderr)
+                    return 1
+        red = 100 - 100 * len(out) / max(len(data), 1)
+        tag = ", verified" if args.verify else ""
+        print(
+            f"{path}: {len(data)} -> {len(out)} bytes ({red:.2f}%), best of"
+            f" {args.bench}: {len(data) / max(best, 1e-9) / 1e6:.1f} MB/s"
+            f"{tag}"
+        )
+    return 0
+
+
+def _parse_off_nl(value):
+    """Parse an -offset/-tail value with optional '+nl' suffix: snap the
+    start of the output forward to the next newline (reference
+    cmd/mz/decompress.go '+nl')."""
+    if value is None:
+        return None, False
+    s = str(value)
+    nl = s.endswith("+nl")
+    if nl:
+        s = s[: -len("+nl")]
+    return int(s or 0), nl
 
 
 def _follow(path, args) -> int:
@@ -191,15 +241,23 @@ def cmd_decompress(args, to_stdout=False) -> int:
         if path.endswith(".mzb") or (raw[:1] == b"\x00" and not raw.startswith(minlz.MAGIC_CHUNK)):
             data = blockapi.decode(raw)
         else:
-            if args.offset or args.tail is not None:
+            off, off_nl = _parse_off_nl(args.offset)
+            tail, tail_nl = _parse_off_nl(args.tail)
+            if off or args.tail is not None:
                 bio = io.BytesIO(raw)
                 rs = ReadSeeker(bio)
                 if args.tail is not None:
-                    start = max(rs._index.total_uncompressed - args.tail, 0)
+                    start = max(rs._index.total_uncompressed - tail, 0)
                 else:
-                    start = args.offset
+                    start = off
                 rs.seek(start)
                 data = rs.read(args.limit if args.limit else -1)
+                if (off_nl or tail_nl) and start > 0:
+                    # '+nl': snap the range start forward to the next line
+                    # boundary (reference cmd/mz/decompress.go).
+                    j = data.find(b"\n")
+                    if j >= 0:
+                        data = data[j + 1 :]
             elif getattr(args, "cpu", 0) > 1:
                 out = io.BytesIO()
                 Reader(io.BytesIO(raw)).decode_concurrent(
@@ -537,14 +595,22 @@ def main(argv=None) -> int:
     pc.add_argument("-search.no-compress", dest="search_compress",
                     action="store_false")
     pc.add_argument("-device", action="store_true", help="TPU encode path")
+    pc.add_argument("-cpu", type=int, default=0,
+                    help="encode concurrency (0 = auto)")
+    pc.add_argument("-bench", type=int, default=0, metavar="N",
+                    help="benchmark: compress N times, report best rate")
+    pc.add_argument("-verify", action="store_true",
+                    help="with -bench: round-trip check every iteration")
     pc.add_argument("-o", dest="output")
     pc.add_argument("files", nargs="+")
     pc.set_defaults(fn=cmd_compress)
 
     for name, stdout in (("d", False), ("cat", True)):
         pd = sub.add_parser(name, help="decompress" + (" to stdout" if stdout else ""))
-        pd.add_argument("-offset", type=int, default=0)
-        pd.add_argument("-tail", type=int, default=None)
+        pd.add_argument("-offset", default=0,
+                        help="start offset; '+nl' suffix snaps to newline")
+        pd.add_argument("-tail", default=None,
+                        help="last N bytes; '+nl' suffix snaps to newline")
         pd.add_argument("-limit", type=int, default=0)
         pd.add_argument("-follow", action="store_true",
                         help="keep reading as the file grows (tail -f)")

@@ -107,3 +107,45 @@ def test_compress_with_search_tables(workdir, capsys):
     assert bytes([0x44]) == raw[10:11] or b"\x44" in raw[:64]
     rc, out, _ = run(["s", "-q", "Tom Sawyer", "t.txt.mz"], capsys)
     assert rc == 0
+
+
+def test_cli_compress_bench_verify(tmp_path, twain, capsys):
+    from minlz_tpu.cli import main
+
+    src = tmp_path / "in.txt"
+    src.write_bytes(twain)
+    rc = main(["c", "-bench", "2", "-verify", str(src)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "best of 2" in out and "verified" in out
+
+
+def test_cli_offset_nl_snapping(tmp_path, twain, capsys):
+    from minlz_tpu.cli import main
+
+    src = tmp_path / "in.txt"
+    src.write_bytes(twain)
+    mz = tmp_path / "in.mz"
+    assert main(["c", str(src), "-o", str(mz)]) == 0
+    out_plain = tmp_path / "o1"
+    out_nl = tmp_path / "o2"
+    assert main(["d", "-offset", "6000", str(mz), "-o", str(out_plain)]) == 0
+    assert main(["d", "-offset", "6000+nl", str(mz), "-o", str(out_nl)]) == 0
+    plain = out_plain.read_bytes()
+    snapped = out_nl.read_bytes()
+    # Snapped output starts exactly after the first newline at/after 6000.
+    j = plain.find(b"\n")
+    assert snapped == plain[j + 1 :]
+    assert twain.endswith(snapped)
+
+
+def test_cli_compress_cpu_flag(tmp_path, twain):
+    from minlz_tpu.cli import main
+
+    src = tmp_path / "in.txt"
+    src.write_bytes(twain)
+    mz = tmp_path / "in.mz"
+    assert main(["c", "-cpu", "2", str(src), "-o", str(mz)]) == 0
+    out = tmp_path / "out.txt"
+    assert main(["d", str(mz), "-o", str(out)]) == 0
+    assert out.read_bytes() == twain
