@@ -351,8 +351,31 @@ def cmd_stats(args) -> int:
                     search_pop.append(pop / (len(tbl) * 8))
                 except Exception:
                     pass
+            if ctype == 0x46:
+                # Disposition accounting (reference mz stats /
+                # CompressedSearchStatsHook, search_compressed.go:110-177).
+                try:
+                    from .search.compressed import disposition_stats
+
+                    d = disposition_stats(raw[pos + 4 : pos + 4 + clen])
+                    agg = stats.setdefault("dispositions", {})
+                    for k, v in d.items():
+                        if not isinstance(v, dict):
+                            agg[k] = agg.get(k, 0) + v
+                            continue
+                        a = agg.setdefault(
+                            k, {"count": 0, "wire_bytes": 0}
+                        )
+                        a["count"] += v["count"]
+                        a["wire_bytes"] += v["wire_bytes"]
+                except Exception:
+                    pass
             if ctype in (0x01, 0x02, 0x03):
                 stats["blocks"] += 1
+                hist = stats.setdefault("block_size_hist", {})
+                blog = max(clen - 4, 1).bit_length() - 1
+                key = f"2^{blog}"
+                hist[key] = hist.get(key, 0) + 1
                 if ctype == 0x01:
                     stats["uncompressed"] += clen - 4
                 else:
@@ -572,6 +595,14 @@ def cmd_bench(args) -> int:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="mz", description=__doc__)
+    # Profiling flags (reference -cpuprof/-memprof/-traceprof,
+    # cmd/mz/main.go:51-107; trace is the jax.profiler analog).
+    p.add_argument("--cpuprof", metavar="FILE",
+                   help="write a cProfile dump of the run to FILE")
+    p.add_argument("--memprof", metavar="FILE",
+                   help="write a tracemalloc top-stats dump to FILE")
+    p.add_argument("--traceprof", metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pc = sub.add_parser("c", help="compress")
@@ -672,10 +703,47 @@ def main(argv=None) -> int:
     pb.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+
+    def run():
+        try:
+            return args.fn(args)
+        except BrokenPipeError:
+            return 0
+
+    if args.memprof:
+        import tracemalloc
+
+        tracemalloc.start()
+    if args.traceprof:
+        import jax
+
+        with jax.profiler.trace(args.traceprof):
+            rc = _run_cpuprof(run, args.cpuprof)
+    else:
+        rc = _run_cpuprof(run, args.cpuprof)
+    if args.memprof:
+        import tracemalloc
+
+        snap = tracemalloc.take_snapshot()
+        with open(args.memprof, "w") as f:
+            for st in snap.statistics("lineno")[:100]:
+                f.write(f"{st}\n")
+        tracemalloc.stop()
+    return rc
+
+
+def _run_cpuprof(run, path):
+    if not path:
+        return run()
+    import cProfile
+
+    prof = cProfile.Profile()
+    prof.enable()
     try:
-        return args.fn(args)
-    except BrokenPipeError:
-        return 0
+        return run()
+    finally:
+        prof.disable()
+        prof.dump_stats(path)
 
 
 if __name__ == "__main__":

@@ -10,16 +10,19 @@ independent op streams — contiguous segment ranges of the SAME block — in
 one branch-free loop, each chain append-only at its own cursor.
 
 Correctness of chain parallelism: the encoder clamps every match source to
-the 128 KiB range of its destination (``find_matches_dyn`` mask + the native
-parse's backward-extension clamp), recorded in parse-hints v2.  Chains own
-disjoint byte ranges and never read another chain's in-flight output.
+the ``RANGE`` (64 KiB) range of its destination (``find_matches_dyn`` mask +
+the native parse's backward-extension clamp), recorded in parse-hints v2.
+Chains own disjoint byte ranges and never read another chain's in-flight
+output.
 
 Memory layout: one VMEM *arena* of 512-byte rows (128 lanes x int32, 4
 packed bytes per lane) holding [per-lane compressed streams || decoded
 output], input/output-aliased.  Literal sources and copy sources then share
-one window primitive: two dynamic row loads + lane-uniform gather + byte
-shift.  Stores are write-through from a per-chain register accumulator —
-rows are written whole, never read-modify-written.
+one window primitive: two dynamic row loads + two dynamic lane-rotates +
+byte shift.  Stores read-modify-write the arena row under a byte mask;
+write-through keeps every row current, so rows double as accumulators and
+each sub-slot's vector work can be skipped entirely (``pl.when``) when the
+slot is vacuous.
 
 Overlapping (RLE) copies use effective-offset doubling: each emit reads
 [cur-eff, cur-eff+t) with eff a multiple of the true offset, growing
@@ -47,7 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 ROW_B = 512          # bytes per arena row (128 lanes x 4 packed bytes)
 MAXC = 16            # chains (static unroll)
 OP_T = 256           # ops per chain per grid step (SMEM tile)
-RANGE = 128 * 1024   # encoder match-source clamp granularity (hints v2)
+# Encoder match-source clamp granularity (hints v2).  64 KiB gives a 1 MiB
+# block 16 independent ranges = 16 executor chains (measured ~1.3x the
+# per-op rate of 8); the ratio cost vs 128 KiB is ~0.1 points because the
+# match finder's exact level already stays within 32 KiB windows.
+RANGE = 64 * 1024
 
 # int32 byte-lane masks 0x000000FF, 0x0000FF00, 0x00FF0000, 0xFF000000.
 _BYTE_MASKS = [
@@ -68,8 +75,7 @@ def tile_words(nchain: int) -> int:
 # Compaction: op arrays [P, sub, 128] -> per-chain padded op lists
 # --------------------------------------------------------------------------
 
-def _stitch_kernel(meta_ref, a_ref, b_ref, c_ref, outa_ref, outb_ref,
-                   outc_ref):
+def _stitch_kernel(meta_ref, a_ref, b_ref, outa_ref, outb_ref):
     """Copy window i's first `count` elements to out[offset:offset+count].
 
     Identical mechanism to pallas_decode._stitch_kernel, but the per-window
@@ -103,7 +109,6 @@ def _stitch_kernel(meta_ref, a_ref, b_ref, c_ref, outa_ref, outb_ref,
     def _():
         write_rows(a_ref, outa_ref)
         write_rows(b_ref, outb_ref)
-        write_rows(c_ref, outc_ref)
 
 
 @functools.partial(
@@ -117,45 +122,49 @@ def compact_ops_chained(kind, dst, clen, csrc, lsrc, llen,
     spc: segments (lanes) per chain; cap_pc: padded ops per chain (multiple
     of OP_T); pc: compressed bytes per lane in the arena (for global lsrc).
 
-    Word A = llen | clen << 14; word B = csrc; word C = lane*pc + lsrc
-    (global arena byte position of the first literal).  Returns
+    Executor words: A = llen | clen << 14; B = csrc (copy offset, up to
+    RANGE = 17 bits); C = lane*pc + lsrc (global arena byte position of
+    the first literal).  To cut sort and stitch bandwidth, the three words
+    travel packed in TWO (llen/clen are 13-bit, lsrc is 13-bit, csrc 17)
+    and unpack after the stitch; the per-op lane id is NOT packed — it is
+    reconstructed from the per-lane count scan by a tiny scatter + cummax
+    over the dense op positions.  Returns
     (ops [nchain, cap_pc, 3] int32, counts [nchain] int32).
     """
     del dst  # cursors are append-only; dst is implied
     P = kind.shape[0]
     L = nchain * spc  # lanes actually covered by chains
 
+    # Pack in parse layout (cheap vector work), transpose only 3 arrays.
+    w1 = llen | (clen << 13)
+    w2 = csrc | (lsrc << 17)
+
     def lane_major(x):
         return x.reshape(P, -1).T[:L]  # [L, P]
 
     k = lane_major(kind)
-    lane_idx = jnp.arange(L, dtype=jnp.int32)[:, None]
-    a = lane_major(llen) | (lane_major(clen) << 14)
-    b = lane_major(csrc)
-    # +ROW_B: the arena carries one guard row before the compressed lanes
-    # so window() never sees a negative byte address (literal reads are
-    # window(ls - q) with q up to ROW_B-1).
-    c = lane_major(lsrc) + lane_idx * pc + ROW_B
+    w1 = lane_major(w1)
+    w2 = lane_major(w2)
 
     real = k > 0
     big = jnp.int32(0x7FFFFFFF)
     key = jnp.where(real, jnp.arange(P, dtype=jnp.int32)[None, :], big)
     # One sort window per lane: rows stay op-ordered, counts fall out.
-    key_s, a_s, b_s, c_s = jax.lax.sort(
-        (key, a, b, c), dimension=1, num_keys=1
+    key_s, w1_s, w2_s = jax.lax.sort(
+        (key, w1, w2), dimension=1, num_keys=1
     )
     del key_s
     counts = jnp.sum(real, axis=1, dtype=jnp.int32)  # [L]
     within = jnp.cumsum(counts.reshape(nchain, spc), axis=1)
     within = (within - counts.reshape(nchain, spc)).reshape(-1)
+    lane_idx = jnp.arange(L, dtype=jnp.int32)[:, None]
     chain = lane_idx[:, 0] // spc
     meta = jnp.stack([chain * cap_pc + within, counts], axis=1)
 
     Wr = P // 128
     pad = jnp.zeros((L, 1, 128), jnp.int32)
-    a_p = jnp.concatenate([a_s.reshape(L, Wr, 128), pad], axis=1)
-    b_p = jnp.concatenate([b_s.reshape(L, Wr, 128), pad], axis=1)
-    c_p = jnp.concatenate([c_s.reshape(L, Wr, 128), pad], axis=1)
+    a_p = jnp.concatenate([w1_s.reshape(L, Wr, 128), pad], axis=1)
+    b_p = jnp.concatenate([w2_s.reshape(L, Wr, 128), pad], axis=1)
 
     rows = nchain * cap_pc // 128
     win_spec = pl.BlockSpec((1, Wr + 1, 128), lambda t: (t, 0, 0),
@@ -165,18 +174,35 @@ def compact_ops_chained(kind, dst, clen, csrc, lsrc, llen,
         grid=(L,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            win_spec, win_spec, win_spec,
+            win_spec, win_spec,
         ],
         out_specs=[
             pl.BlockSpec((rows, 128), lambda t: (0, 0),
                          memory_space=pltpu.VMEM)
-        ] * 3,
-        out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)] * 3,
+        ] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)] * 2,
         interpret=_interpret(),
-    )(meta, a_p, b_p, c_p)
-    ops = jnp.stack(
-        [o.reshape(nchain, cap_pc) for o in out], axis=2
+    )(meta, a_p, b_p)
+    p1 = out[0].reshape(nchain, cap_pc)
+    p2 = out[1].reshape(nchain, cap_pc)
+    # Reconstruct each dense op slot's owning lane: scatter every lane's
+    # first-op position (chain-dense coords), then forward-fill.  Empty
+    # lanes collide on the same slot; max keeps the later lane, which is
+    # correct since the earlier lane owns no slots.
+    flat_pos = chain * cap_pc + within
+    lane_map = (
+        jnp.zeros((nchain * cap_pc,), jnp.int32)
+        .at[flat_pos].max(jnp.arange(L, dtype=jnp.int32))
+        .reshape(nchain, cap_pc)
     )
+    lane_u = jax.lax.cummax(lane_map, axis=1)
+    # Unpack to executor words.  +ROW_B on C: the arena carries one guard
+    # row before the compressed lanes so window() never sees a negative
+    # byte address (literal reads are window(ls - q), q up to ROW_B-1).
+    a = (p1 & 0x1FFF) | (((p1 >> 13) & 0x1FFF) << 14)
+    b = p2 & 0x1FFFF
+    c = ((p2 >> 17) & 0x1FFF) + lane_u * pc + ROW_B
+    ops = jnp.stack([a, b, c], axis=2)
     chain_counts = jnp.sum(counts.reshape(nchain, spc), axis=1)
     return ops, chain_counts
 
@@ -196,12 +222,17 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
     arena_in_ref/arena_ref: VMEM [n_arena_rows, 128] int32 — [comp rows
     || out rows], aliased input/output (all access goes through the out
     ref; unwritten rows read back the aliased input).  st_ref: SMEM scratch (nchain*8,) persisted
-    per-chain scalars; acc_ref: VMEM scratch (nchain, 128) accumulators.
+    per-chain scalars.  Sub-slot stores read-modify-write the arena row
+    directly (write-through keeps rows current, so the row doubles as the
+    accumulator), and each sub-slot's vector work runs under
+    ``pl.when(t? > 0)`` — a vacuous slot (pure-copy record's literal slot,
+    a row-crossing literal's copy slot, or an exhausted chain idling while
+    stragglers finish) costs only scalar bookkeeping.
     """
     F = 8  # scalar state fields per chain
 
     def kernel(counts_ref, ops_ref, arena_in_ref, arena_ref, st_ref,
-               acc_ref):
+               ):
         t = pl.program_id(0)
         iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         b4 = iota * 4  # first byte index of each packed word
@@ -281,7 +312,6 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
                 eff = state[nchain * 3 + ch * 3]
                 ls = state[nchain * 3 + ch * 3 + 1]
                 cur = state[nchain * 3 + ch * 3 + 2]
-                acc = state[nchain * 6 + ch]
                 # Stores clamp into the chain's own span: keeps idle
                 # iterations and hostile op streams from touching other
                 # chains' rows or escaping the arena.
@@ -300,15 +330,25 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
                 ls = jnp.where(can, cw, ls)
                 op = op + can.astype(jnp.int32)
 
-                # literal sub-slot
+                # literal sub-slot (vector work gated: pure-copy records
+                # and idle chains pay only the scalar bookkeeping)
                 q = cur & (ROW_B - 1)
                 ta = jnp.minimum(lr, ROW_B - q)
-                win = window(ls - q)
-                m = bmask(q, q + ta)
-                acc = (win & m) | (acc & ~m)
-                arena_ref[pl.ds(jnp.minimum(cur >> 9, last_row), 1), :] = (
-                    acc[0:1]
-                )
+                row_a = jnp.minimum(cur >> 9, last_row)
+
+                @pl.when(ta > 0)
+                def _lit(q=q, ta=ta, ls=ls, row_a=row_a):
+                    # RMW on the arena row itself: write-through keeps the
+                    # row current, so it doubles as the accumulator.
+                    cur_row = jnp.broadcast_to(
+                        arena_ref[pl.ds(row_a, 1), :], (8, 128)
+                    )
+                    win = window(ls - q)
+                    m = bmask(q, q + ta)
+                    arena_ref[pl.ds(row_a, 1), :] = (
+                        (win & m) | (cur_row & ~m)
+                    )[0:1]
+
                 cur = cur + ta
                 ls = ls + ta
                 lr = lr - ta
@@ -319,12 +359,19 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
                 q2 = cur & (ROW_B - 1)
                 tb = jnp.minimum(jnp.minimum(cr, eff), ROW_B - q2)
                 tb = jnp.where(lr == 0, tb, 0)
-                win2 = window(cur - eff - q2)
-                m2 = bmask(q2, q2 + tb)
-                acc = (win2 & m2) | (acc & ~m2)
-                arena_ref[pl.ds(jnp.minimum(cur >> 9, last_row), 1), :] = (
-                    acc[0:1]
-                )
+                row_b = jnp.minimum(cur >> 9, last_row)
+
+                @pl.when(tb > 0)
+                def _cpy(q2=q2, tb=tb, cur=cur, eff=eff, row_b=row_b):
+                    cur_row = jnp.broadcast_to(
+                        arena_ref[pl.ds(row_b, 1), :], (8, 128)
+                    )
+                    win2 = window(cur - eff - q2)
+                    m2 = bmask(q2, q2 + tb)
+                    arena_ref[pl.ds(row_b, 1), :] = (
+                        (win2 & m2) | (cur_row & ~m2)
+                    )[0:1]
+
                 cur = cur + tb
                 cr = cr - tb
                 eff = jnp.where((tb == eff) & (cr > 0), eff * 2, eff)
@@ -335,7 +382,6 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
                 new[nchain * 3 + ch * 3] = eff
                 new[nchain * 3 + ch * 3 + 1] = ls
                 new[nchain * 3 + ch * 3 + 2] = cur
-                new[nchain * 6 + ch] = acc
             return tuple(new)
 
         state = []
@@ -345,10 +391,6 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
         for ch in range(nchain):
             state += [st_ref[ch * F + 3], st_ref[ch * F + 4],
                       st_ref[ch * F + 5]]
-        for ch in range(nchain):
-            state.append(
-                jnp.broadcast_to(acc_ref[pl.ds(ch, 1), :], (8, 128))
-            )
         state = jax.lax.while_loop(cond, body, tuple(state))
         for ch in range(nchain):
             st_ref[ch * F + 0] = state[ch * 3]
@@ -357,7 +399,6 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
             st_ref[ch * F + 3] = state[nchain * 3 + ch * 3]
             st_ref[ch * F + 4] = state[nchain * 3 + ch * 3 + 1]
             st_ref[ch * F + 5] = state[nchain * 3 + ch * 3 + 2]
-            acc_ref[pl.ds(ch, 1), :] = state[nchain * 6 + ch][0:1]
 
     return kernel
 
@@ -393,7 +434,6 @@ def execute_chained(ops_flat, counts, arena, nchain: int, cap_pc: int,
         out_shape=jax.ShapeDtypeStruct((n_arena_rows, 128), jnp.int32),
         scratch_shapes=[
             pltpu.SMEM((nchain * 8,), jnp.int32),
-            pltpu.VMEM((nchain, 128), jnp.int32),
         ],
         input_output_aliases={2: 0},
         interpret=_interpret(),

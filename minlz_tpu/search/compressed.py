@@ -267,3 +267,53 @@ def parse_compressed_table_chunk(payload: bytes):
     if crc(table) != want_crc:
         raise CorruptError("compressed search table CRC mismatch")
     return cfg, bits, reductions, table
+
+
+def disposition_stats(payload: bytes):
+    """Per-disposition sub-block counts and on-wire bytes for a 0x46
+    payload (the reference's CompressedSearchStatsHook / ``mz stats``
+    disposition accounting, search_compressed.go:110-177).
+
+    Returns {"tabled"|"raw"|"rle"|"sparse": {"count", "wire_bytes"}} plus
+    "huff0_tables" and "bitmap_bytes"."""
+    from .table import parse_table_header
+
+    cfg, bits, pos = parse_table_header(payload)
+    reductions = payload[pos]
+    h0_bs = payload[pos + 5]
+    h0_tc = payload[pos + 6]
+    pos += 7
+    for _ in range(h0_tc):
+        _, consumed = huff0.read_table(payload[pos:])
+        pos += consumed
+    n = 1 << (bits - reductions - 3)
+    bs = 1 << h0_bs
+    stats = {
+        k: {"count": 0, "wire_bytes": 0}
+        for k in ("tabled", "raw", "rle", "sparse")
+    }
+    for _ in range(n // bs):
+        ti = payload[pos]
+        start = pos
+        pos += 1
+        if ti <= 15:
+            ln, pos = read_uvarint(payload, pos)
+            pos += ln
+            k = "tabled"
+        elif ti == DISP_RAW:
+            pos += bs
+            k = "raw"
+        elif ti == DISP_RLE:
+            pos += 1
+            k = "rle"
+        elif ti == DISP_SPARSE:
+            ln, pos = read_uvarint(payload, pos)
+            pos += ln
+            k = "sparse"
+        else:
+            raise CorruptError(f"reserved block disposition {ti}")
+        stats[k]["count"] += 1
+        stats[k]["wire_bytes"] += pos - start
+    stats["huff0_tables"] = h0_tc
+    stats["bitmap_bytes"] = n
+    return stats

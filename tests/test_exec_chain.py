@@ -127,7 +127,7 @@ def test_differential_roundtrip_single_chain():
 
 
 def test_differential_roundtrip_multi_chain():
-    nkb = 160  # 40 segments -> 2 ranges -> nchain == 2
+    nkb = 160  # 40 segments -> multiple ranges -> nchain >= 2
     spc, nchain = ec.chain_geometry(40, 4096)
-    assert nchain == 2
+    assert nchain >= 2
     _roundtrip(nkb)
