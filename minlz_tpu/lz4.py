@@ -121,14 +121,27 @@ def lz4_encode_block(src) -> bytes:
     return bytes(out)
 
 
-def convert_block(src, max_size: int = MAX_BLOCK_SIZE) -> bytes:
+def convert_block(src, max_size: int = MAX_BLOCK_SIZE,
+                  native: bool = True) -> bytes:
     """Transcode one LZ4 block into a MinLZ block without decompressing.
 
     Returns the full MinLZ block (0x00 marker + uvarint size + ops).
     Raises LZ4CorruptError on malformed input.  Reference:
-    lz4convert.go:39 (ConvertBlock).
+    lz4convert.go:39 (ConvertBlock); the native C++ fast path is the
+    cvtLZ4BlockAsm analog (differentially tested against this walker).
     """
     src = bytes(src)
+    if native:
+        from .native.codec import get_codec
+
+        codec = get_codec()
+        if codec is not None:
+            try:
+                blk = codec.lz4_convert_block(src, max_size)
+            except ValueError as exc:
+                raise LZ4CorruptError(f"lz4: {exc}") from None
+            if blk is not None:
+                return blk
     n = len(src)
     body = bytearray()
     out_len = 0

@@ -1030,6 +1030,125 @@ MINLZ_EXPORT long minlz_decode_block_dict(const uint8_t* src, size_t slen,
   return d < 0 ? d : d - (long)ctx;
 }
 
+// LZ4 block -> MinLZ block transcode WITHOUT decompression: token-by-token
+// translation of LZ4 literal/match sequences into MinLZ literal/copy/repeat
+// ops with last-offset tracking.  Native runtime analog of the reference's
+// cvtLZ4BlockAsm fast path (lz4convert.go:39-231, asm glue :53-73).
+// Returns the full MinLZ block length written to dst (marker + uvarint +
+// ops), -1 on corrupt LZ4 input, -2 when dst is too small.
+MINLZ_EXPORT long minlz_lz4_convert_block(const uint8_t* src, size_t slen,
+                                          uint8_t* dst, size_t dcap,
+                                          size_t max_size) {
+  if (max_size == 0 || max_size > kMaxBlock) max_size = kMaxBlock;
+  std::vector<uint8_t> body;
+  body.reserve(slen);
+  size_t i = 0, out_len = 0;
+  long last_offset = -1;
+  while (i < slen) {
+    uint32_t token = src[i++];
+    size_t lit_len = token >> 4;
+    if (lit_len == 15) {
+      while (true) {
+        if (i >= slen) return -1;  // truncated literal length
+        uint8_t b = src[i++];
+        lit_len += b;
+        if (b != 255) break;
+      }
+    }
+    if (i + lit_len > slen) return -1;  // literal run exceeds input
+    const uint8_t* lits = src + i;
+    i += lit_len;
+
+    if (i == slen) {  // final sequence: literals only
+      if (lit_len) {
+        emit_literals(body, lits, lit_len);
+        out_len += lit_len;
+      }
+      break;
+    }
+    if (i + 2 > slen) return -1;  // truncated offset
+    uint32_t offset = (uint32_t)src[i] | ((uint32_t)src[i + 1] << 8);
+    i += 2;
+    if (offset == 0 || offset > out_len + lit_len) return -1;
+    uint32_t m_len = token & 15;
+    if (m_len == 15) {
+      while (true) {
+        if (i >= slen) return -1;  // truncated match length
+        uint8_t b = src[i++];
+        m_len += b;
+        if (b != 255) break;
+      }
+    }
+    m_len += 4;  // LZ4 min match
+    if (out_len + lit_len + m_len > max_size) return -1;
+
+    // Prefer fused forms; repeat when the offset recurs (mirrors
+    // lz4.convert_block / reference ConvertBlock emission choices).
+    if (lit_len && (long)offset != last_offset && offset >= 64 &&
+        (lit_len <= 3 || (offset <= 65599 && lit_len <= 4))) {
+      if (offset <= 65599) {
+        emit_fused2(body, lits, (uint32_t)lit_len, offset, m_len);
+      } else {
+        emit_copy3(body, offset, m_len, lits, (uint32_t)lit_len);
+      }
+    } else {
+      if (lit_len) emit_literals(body, lits, lit_len);
+      if ((long)offset == last_offset) {
+        emit_repeat(body, m_len);
+      } else if (offset <= 1024) {
+        emit_copy1(body, offset, m_len);
+      } else if (offset <= 65599) {
+        emit_copy2(body, offset, m_len);
+      } else {
+        emit_copy3(body, offset, m_len, nullptr, 0);
+      }
+    }
+    last_offset = (long)offset;
+    out_len += lit_len + m_len;
+  }
+
+  if (body.size() >= out_len && out_len > 0) {
+    // MinLZ requires net compression; decode the LZ4 block and store raw.
+    if (out_len + 2 > dcap) return -2;
+    dst[0] = 0;
+    dst[1] = 0;
+    uint8_t* o = dst + 2;
+    // Small strict LZ4 decode (validated above; re-walk emits bytes).
+    size_t s = 0, d = 0;
+    while (s < slen) {
+      uint32_t token = src[s++];
+      size_t ll = token >> 4;
+      if (ll == 15) {
+        uint8_t b;
+        do { b = src[s++]; ll += b; } while (b == 255);
+      }
+      memcpy(o + d, src + s, ll);
+      d += ll;
+      s += ll;
+      if (s == slen) break;
+      uint32_t off = (uint32_t)src[s] | ((uint32_t)src[s + 1] << 8);
+      s += 2;
+      uint32_t ml = token & 15;
+      if (ml == 15) {
+        uint8_t b;
+        do { b = src[s++]; ml += b; } while (b == 255);
+      }
+      ml += 4;
+      for (uint32_t k = 0; k < ml; k++) o[d + k] = o[d + k - off];
+      d += ml;
+    }
+    return (long)(d + 2);
+  }
+  uint8_t hdr[12];
+  size_t hl = 1;
+  hdr[0] = 0;
+  hl += put_uvarint(hdr + 1, out_len);
+  if (hl + body.size() > dcap) return -2;
+  memcpy(dst, hdr, hl);
+  memcpy(dst + hl, body.data(), body.size());
+  return (long)(hl + body.size());
+}
+
 }  // extern "C"
 
 extern "C" {

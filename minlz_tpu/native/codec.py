@@ -114,6 +114,29 @@ class _NativeCodec:
             [(int(h), i * seg) for i, h in enumerate(hints[:nseg])],
         )
 
+    def lz4_convert_block(self, src: bytes, max_size: int = 8 << 20):
+        """Native LZ4 block -> MinLZ block transcode (no decompression).
+        Returns the MinLZ block bytes or None when unsupported; raises
+        ValueError on corrupt LZ4 input."""
+        if not hasattr(self._lib, "minlz_lz4_convert_block"):
+            return None
+        # Escalating output caps: create_string_buffer zeroes its memory,
+        # so starting at 8 MiB would cost more than the conversion itself.
+        cap = min(max_size + 16, max(len(src) * 4, 4096))
+        while True:
+            out = ctypes.create_string_buffer(cap)
+            wrote = self._lib.minlz_lz4_convert_block(
+                src, len(src), out, cap, max_size
+            )
+            if wrote == -1:
+                raise ValueError("corrupt LZ4 block")
+            if wrote == -2 and cap < max_size + 16:
+                cap = min(cap * 4, max_size + 16)
+                continue
+            if wrote < 0:
+                return None
+            return out.raw[:wrote]
+
     def decode_block(self, src: bytes) -> bytes:
         from ..minlz import CorruptError
         from ..oracle.decode import parse_header
@@ -162,6 +185,12 @@ def get_codec():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
             ctypes.c_void_p, ctypes.c_size_t,
+        ]
+    if hasattr(lib, "minlz_lz4_convert_block"):
+        lib.minlz_lz4_convert_block.restype = ctypes.c_long
+        lib.minlz_lz4_convert_block.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
         ]
     if hasattr(lib, "minlz_serialize_ops"):
         lib.minlz_serialize_ops.restype = ctypes.c_long

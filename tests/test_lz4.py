@@ -99,3 +99,32 @@ def test_lz4_frame_dependent_blocks_rejected(twain):
         raise AssertionError("dependent frame accepted")
     except LZ4CorruptError:
         pass
+
+
+def test_convert_block_native_differential(twain):
+    """The C++ converter (cvtLZ4BlockAsm analog) must emit byte-identical
+    MinLZ blocks to the pure-Python walker on every input shape."""
+    from minlz_tpu.native.codec import get_codec
+
+    if get_codec() is None or not hasattr(
+        get_codec()._lib, "minlz_lz4_convert_block"
+    ):
+        import pytest
+
+        pytest.skip("native codec unavailable")
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    cases = [
+        lz4.lz4_encode_block(twain),
+        lz4.lz4_encode_block(twain[:100]),
+        lz4.lz4_encode_block(rng.integers(0, 256, 5000,
+                                          dtype=np.uint8).tobytes()),
+        lz4.lz4_encode_block(b"A" * 10000),
+        lz4.lz4_encode_block(bytes(rng.integers(65, 70, 20000,
+                                                dtype=np.uint8))),
+    ]
+    for enc in cases:
+        assert lz4.convert_block(enc, native=True) == lz4.convert_block(
+            enc, native=False
+        )
