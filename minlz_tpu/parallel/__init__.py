@@ -5,6 +5,7 @@ from .mesh import (
     make_mesh,
     sharded_decode_parse,
     sharded_encode_blocks,
+    sharded_encode_blocks_dict,
     sharded_pipeline_step,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "make_mesh",
     "sharded_decode_parse",
     "sharded_encode_blocks",
+    "sharded_encode_blocks_dict",
     "sharded_pipeline_step",
 ]

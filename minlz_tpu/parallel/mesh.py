@@ -115,6 +115,72 @@ def sharded_encode_blocks(mesh: Mesh, data_blocks, n_valid, seg: int = 4096,
     return jax.jit(fn)(data_blocks, n_valid)
 
 
+def sharded_encode_blocks_dict(mesh: Mesh, dict_arr, data_blocks, n_valid,
+                               seg: int = 4096):
+    """Dict-aware data-parallel encode: ONE dictionary broadcast to every
+    device (replicated sharding), blocks sharded over the mesh axis.
+
+    dict_arr: [D] int32 dictionary bytes, D a multiple of ``seg`` (pad at
+    the FRONT and hand the padded bytes to the decoder as its dict — match
+    verification is byte-exact, so pad bytes are never falsely referenced).
+    data_blocks: [n_blocks, N] int32; n_valid: [n_blocks].
+
+    Every block is encoded against the shared dictionary context: the
+    match finder sees [dict || block], emission covers only the block's
+    segments, and copies may reach back into the dictionary (decode with
+    ``native.codec.decode_block_dict`` / oracle dict decode).  The range
+    clamp is off in dict mode — dictionary references cross ranges by
+    design, so these blocks take the v1 decode path.
+
+    Reference analog: dict-candidate encode (encode_l2.go:607,
+    encode_l3.go:278-296) under writer concurrency (writer.go:214-272),
+    with the broadcast replacing per-goroutine dict pointer sharing.
+
+    Returns (seg_bytes [n_blocks, nseg, seg+PAD] uint8,
+             seg_lens [n_blocks, nseg] int32,
+             block_sizes [n_blocks] int32,
+             stream_offsets [n_blocks] int32).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import emit
+
+    axis = mesh.axis_names[0]
+    D = dict_arr.shape[0]
+    if D % seg:
+        raise ValueError("dictionary length must be a multiple of seg "
+                         "(front-pad and use the padded dict to decode)")
+    dseg = D // seg
+
+    def per_device(dict_rep, blocks, valid):
+        def one(dict_r, b, nv):
+            combined = jnp.concatenate([dict_r, b])
+            out, lens = emit.encode_block_emit(
+                combined[None, :], nv + D, seg, 0
+            )
+            return out[dseg:], lens[dseg:]
+
+        out, lens = jax.vmap(one, in_axes=(None, 0, 0))(
+            dict_rep, blocks, valid
+        )
+        sizes = jnp.sum(lens, axis=1)
+        all_sizes = jax.lax.all_gather(sizes, axis).reshape(-1)
+        offsets = jnp.cumsum(all_sizes) - all_sizes
+        my = jax.lax.axis_index(axis)
+        local = sizes.shape[0]
+        my_offs = jax.lax.dynamic_slice(offsets, (my * local,), (local,))
+        return out, lens, sizes, my_offs
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(axis, None, None), P(axis, None), P(axis), P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(fn)(dict_arr, data_blocks, n_valid)
+
+
 def assemble_blocks(seg_bytes, seg_lens, n_valid, seg: int = 4096):
     """Host assembly: per-block spec-valid MinLZ blocks from sharded
     emission output (None entry = incompressible, caller stores raw)."""
