@@ -149,3 +149,20 @@ def test_cli_compress_cpu_flag(tmp_path, twain):
     out = tmp_path / "out.txt"
     assert main(["d", str(mz), "-o", str(out)]) == 0
     assert out.read_bytes() == twain
+
+
+def test_stats_dispositions_and_hist(workdir, capsys):
+    """mz stats reports block-size histograms always, and per-disposition
+    sub-block accounting when 0x46 compressed search tables are present
+    (reference mz stats disposition stats, cmd/mz/stats.go)."""
+    run(["c", "-search", "-bs", "16384", "t.txt"], capsys)
+    rc, out, _ = run(["stats", "t.txt.mz"], capsys)
+    assert rc == 0
+    st = json.loads(out)
+    assert st["block_size_hist"]
+    if "search-table-compressed" in st["chunks"]:
+        d = st["dispositions"]
+        total = sum(
+            v["count"] for k, v in d.items() if isinstance(v, dict)
+        )
+        assert total > 0 and d["bitmap_bytes"] > 0
