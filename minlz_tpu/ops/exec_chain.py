@@ -56,12 +56,6 @@ OP_T = 256           # ops per chain per grid step (SMEM tile)
 # match finder's exact level already stays within 32 KiB windows.
 RANGE = 64 * 1024
 
-# int32 byte-lane masks 0x000000FF, 0x0000FF00, 0x00FF0000, 0xFF000000.
-_BYTE_MASKS = [
-    np.int32(np.uint32(0xFF << (8 * k)).view(np.int32)) for k in range(4)
-]
-
-
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -283,13 +277,27 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
             return jnp.where(bs == 0, lo, lo | hi)
 
         def bmask(lo_b, hi_b):
-            """Per-word int32 mask selecting row bytes [lo_b, hi_b)."""
-            m = jnp.zeros((8, 128), jnp.int32)
-            for kby in range(4):
-                p = b4 + kby
-                sel = (p >= lo_b) & (p < hi_b)
-                m = m | jnp.where(sel, _BYTE_MASKS[kby], jnp.int32(0))
-            return m
+            """Per-word int32 mask selecting row bytes [lo_b, hi_b).
+
+            Arithmetic form: per word at byte base b4, the covered byte
+            count clamps to [0,4]; (1 << 8n) - 1 builds the little-endian
+            byte mask, and the lo mask is cleared from the hi mask.  ~9
+            vector ops vs ~24 for the compare-per-byte-lane version.
+            """
+
+            def lowmask(nbytes):
+                # (1 << 8n) - 1 for n in [0,4] without shift-width UB:
+                # n==4 must give all-ones.
+                sh = (nbytes * 8).astype(jnp.uint32)
+                full = nbytes >= 4
+                m = ((jnp.uint32(1) << sh) - jnp.uint32(1)).astype(
+                    jnp.int32
+                )
+                return jnp.where(full, jnp.int32(-1), m)
+
+            n_hi = jnp.clip(hi_b - b4, 0, 4)
+            n_lo = jnp.clip(lo_b - b4, 0, 4)
+            return lowmask(n_hi) & ~lowmask(n_lo)
 
         limits = [jnp.minimum(counts_ref[ch], (t + 1) * OP_T)
                   for ch in range(nchain)]

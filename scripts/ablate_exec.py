@@ -24,7 +24,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from bench import timed_device
-from minlz_tpu.ops.exec_chain import (_BYTE_MASKS, OP_T, ROW_B, tile_words)
+from minlz_tpu.ops.exec_chain import OP_T, ROW_B, tile_words
+
+# int32 byte-lane masks 0x000000FF..0xFF000000 (the pre-arithmetic-bmask
+# form the ablation bodies were measured with).
+_BYTE_MASKS = [
+    np.int32(np.uint32(0xFF << (8 * k)).view(np.int32)) for k in range(4)
+]
 
 INTERP = jax.default_backend() != "tpu"
 
