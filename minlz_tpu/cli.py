@@ -349,8 +349,8 @@ def cmd_stats(args) -> int:
                     _, _, _, tbl = _p(raw[pos + 4 : pos + 4 + clen])
                     pop = int(np.unpackbits(np.frombuffer(tbl, np.uint8)).sum())
                     search_pop.append(pop / (len(tbl) * 8))
-                except Exception:
-                    pass
+                except minlz.CorruptError:
+                    pass  # stats keep walking past corrupt table chunks
             if ctype == 0x46:
                 # Disposition accounting (reference mz stats /
                 # CompressedSearchStatsHook, search_compressed.go:110-177).
@@ -368,8 +368,8 @@ def cmd_stats(args) -> int:
                         )
                         a["count"] += v["count"]
                         a["wire_bytes"] += v["wire_bytes"]
-                except Exception:
-                    pass
+                except minlz.CorruptError:
+                    pass  # corrupt 0x46 payloads just skip the accounting
             if ctype in (0x01, 0x02, 0x03):
                 stats["blocks"] += 1
                 hist = stats.setdefault("block_size_hist", {})

@@ -1070,12 +1070,13 @@ MINLZ_EXPORT long minlz_lz4_convert_block(const uint8_t* src, size_t slen,
     uint32_t offset = (uint32_t)src[i] | ((uint32_t)src[i + 1] << 8);
     i += 2;
     if (offset == 0 || offset > out_len + lit_len) return -1;
-    uint32_t m_len = token & 15;
-    if (m_len == 15) {
-      while (true) {
+    size_t m_len = token & 15;  // size_t: the extension loop would wrap a
+    if (m_len == 15) {          // uint32 on ~16.8M 0xFF bytes and sneak a
+      while (true) {            // small wrong value past the max_size check
         if (i >= slen) return -1;  // truncated match length
         uint8_t b = src[i++];
         m_len += b;
+        if (m_len > max_size) return -1;  // early: block can't fit anyway
         if (b != 255) break;
       }
     }

@@ -349,12 +349,18 @@ def emit_segments(data, surv, off, vlen, n, seg: int):
     return out.astype(jnp.uint8), out_lens
 
 
-@functools.partial(jax.jit, static_argnames=("seg", "rng"))
-def encode_block_emit(data_flat, n, seg: int, rng: int = 0):
+@functools.partial(jax.jit, static_argnames=("seg", "rng", "ctx"))
+def encode_block_emit(data_flat, n, seg: int, rng: int = 0, ctx: int = 0):
     """Full device encode: match find -> greedy parse -> verify ->
     emit.  data_flat: [1, N] int32; returns (out [nseg, seg+OUT_PAD] uint8,
     out_lens [nseg]).  Correct by construction (byte-exact verification);
-    usable standalone or under vmap/shard_map."""
+    usable standalone or under vmap/shard_map.
+
+    ctx > 0: the first ``ctx`` segments are dictionary/context history —
+    match finding, parsing and verification see them (copies may reach
+    back into them), but serialization covers only the remaining
+    ``nseg - ctx`` block segments, so dict-mode encode does no wasted
+    emission work (r3 advisor finding on parallel/mesh.py)."""
     from . import encode_kernel as ek
 
     N = data_flat.shape[1]
@@ -366,6 +372,8 @@ def encode_block_emit(data_flat, n, seg: int, rng: int = 0):
     surv, vlen = verify_extend(
         data_flat.reshape(-1), take.reshape(-1), tok_off.reshape(-1), n, seg
     )
+    C = ctx * seg
+    flat = data_flat.reshape(-1)
     return emit_segments(
-        data_flat.reshape(-1), surv, tok_off.reshape(-1), vlen, n, seg
+        flat[C:], surv[C:], tok_off.reshape(-1)[C:], vlen[C:], n - C, seg
     )

@@ -119,7 +119,8 @@ def compact_ops_chained(kind, dst, clen, csrc, lsrc, llen,
     Executor words: A = llen | clen << 14; B = csrc (copy offset, up to
     RANGE = 17 bits); C = lane*pc + lsrc (global arena byte position of
     the first literal).  To cut sort and stitch bandwidth, the three words
-    travel packed in TWO (llen/clen are 13-bit, lsrc is 13-bit, csrc 17)
+    travel packed in TWO (llen/clen are 14-bit so seg = 8192 whole-literal
+    or whole-copy records survive, lsrc is 14-bit, csrc 17)
     and unpack after the stitch; the per-op lane id is NOT packed — it is
     reconstructed from the per-lane count scan by a tiny scatter + cummax
     over the dense op positions.  Returns
@@ -130,7 +131,10 @@ def compact_ops_chained(kind, dst, clen, csrc, lsrc, llen,
     L = nchain * spc  # lanes actually covered by chains
 
     # Pack in parse layout (cheap vector work), transpose only 3 arrays.
-    w1 = llen | (clen << 13)
+    # w1 is already the executor A word (llen | clen << 14, 28 bits); w2
+    # packs csrc (17 bits) with a 14-bit lsrc — lsrc < pc and pc tops out
+    # at seg + one row of margin, so 14 bits cover seg = 8192 streams.
+    w1 = llen | (clen << 14)
     w2 = csrc | (lsrc << 17)
 
     def lane_major(x):
@@ -193,9 +197,9 @@ def compact_ops_chained(kind, dst, clen, csrc, lsrc, llen,
     # Unpack to executor words.  +ROW_B on C: the arena carries one guard
     # row before the compressed lanes so window() never sees a negative
     # byte address (literal reads are window(ls - q), q up to ROW_B-1).
-    a = (p1 & 0x1FFF) | (((p1 >> 13) & 0x1FFF) << 14)
+    a = p1
     b = p2 & 0x1FFFF
-    c = ((p2 >> 17) & 0x1FFF) + lane_u * pc + ROW_B
+    c = ((p2 >> 17) & 0x3FFF) + lane_u * pc + ROW_B
     ops = jnp.stack([a, b, c], axis=2)
     chain_counts = jnp.sum(counts.reshape(nchain, spc), axis=1)
     return ops, chain_counts
@@ -535,6 +539,12 @@ def decode_block_chained(seg_bytes_list, out_total: int, seg: int,
     pc_data = max(len(sb) for sb in seg_bytes_list)
     n_rows = -(-(pc_data + 1) // 512) * 512
     pc = n_rows + ROW_B  # window-load margin; keeps pc % 512 == 0
+    if pc > (1 << 14):
+        # lsrc travels in 14 bits (compact_ops_chained); valid encoder
+        # output never exceeds seg + tag margin, so this is corrupt input.
+        raise ValueError(
+            f"segment stream of {pc_data} bytes exceeds lsrc packing"
+        )
 
     lens = np.zeros((lanes // 128, 128), np.int32)
     comp_lanes = np.zeros((lanes, pc), np.uint8)

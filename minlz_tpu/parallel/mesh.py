@@ -155,10 +155,11 @@ def sharded_encode_blocks_dict(mesh: Mesh, dict_arr, data_blocks, n_valid,
     def per_device(dict_rep, blocks, valid):
         def one(dict_r, b, nv):
             combined = jnp.concatenate([dict_r, b])
-            out, lens = emit.encode_block_emit(
-                combined[None, :], nv + D, seg, 0
+            # ctx=dseg: the dict segments feed match finding/verification
+            # but are never serialized — no wasted emission work.
+            return emit.encode_block_emit(
+                combined[None, :], nv + D, seg, 0, ctx=dseg
             )
-            return out[dseg:], lens[dseg:]
 
         out, lens = jax.vmap(one, in_axes=(None, 0, 0))(
             dict_rep, blocks, valid

@@ -279,6 +279,8 @@ def disposition_stats(payload: bytes):
     from .table import parse_table_header
 
     cfg, bits, pos = parse_table_header(payload)
+    if pos + 7 > len(payload):
+        raise CorruptError("truncated compressed table header")
     reductions = payload[pos]
     h0_bs = payload[pos + 5]
     h0_tc = payload[pos + 6]
@@ -293,6 +295,8 @@ def disposition_stats(payload: bytes):
         for k in ("tabled", "raw", "rle", "sparse")
     }
     for _ in range(n // bs):
+        if pos >= len(payload):
+            raise CorruptError("truncated compressed table blocks")
         ti = payload[pos]
         start = pos
         pos += 1
@@ -312,6 +316,8 @@ def disposition_stats(payload: bytes):
             k = "sparse"
         else:
             raise CorruptError(f"reserved block disposition {ti}")
+        if pos > len(payload):
+            raise CorruptError("truncated compressed table blocks")
         stats[k]["count"] += 1
         stats[k]["wire_bytes"] += pos - start
     stats["huff0_tables"] = h0_tc

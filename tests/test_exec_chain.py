@@ -131,3 +131,45 @@ def test_differential_roundtrip_multi_chain():
     spc, nchain = ec.chain_geometry(40, 4096)
     assert nchain >= 2
     _roundtrip(nkb)
+
+
+def test_seg8192_whole_literal_record():
+    """seg = 8192 with a wholly-literal segment: llen = 8192 and lsrc >
+    8191 must survive the two-word op packing (r3 advisor high finding —
+    13-bit fields silently corrupted such blocks)."""
+    from minlz_tpu.oracle import encode as oenc
+
+    seg = 8192
+    rng_bytes = (np.arange(seg, dtype=np.uint32) * 2654435761 >> 13).astype(
+        np.uint8
+    ).tobytes()  # incompressible-ish ramp
+    s0 = bytearray()
+    oenc.emit_literals(s0, rng_bytes)  # one op, llen = 8192
+    twain = open("testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()
+    s1 = bytearray()
+    # Literal-heavy second segment so its lsrc cursor passes 8191 too.
+    oenc.emit_literals(s1, twain[:seg])
+    data = rng_bytes + twain[:seg]
+    got = ec.decode_block_chained([bytes(s0), bytes(s1)], len(data), seg)
+    assert got == data
+
+
+def test_seg8192_device_roundtrip():
+    """End-to-end device encode/decode at seg = 8192 (the DeviceCodec
+    geometry for 2-4 MiB blocks), mixing incompressible and text data."""
+    from minlz_tpu.oracle import decode as odec
+    from minlz_tpu.ops.device_codec import split_body
+    from minlz_tpu.ops.encode_kernel import encode_block_device
+
+    rng = np.random.default_rng(7)
+    twain = open("testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()
+    data = rng.integers(0, 256, 8192, dtype=np.uint8).tobytes() + (
+        twain * 2
+    )[: 3 * 8192]
+    seg = 8192
+    block, hints = encode_block_device(data, seg, ec.RANGE)
+    assert odec.decode_block(block) == data
+    _, want, pos = odec.parse_header(block)
+    segs = split_body(block[pos:], [h[0] for h in hints])
+    got = ec.decode_block_chained(segs, len(data), seg, ec.RANGE)
+    assert got == data
