@@ -200,46 +200,38 @@ def main():
             break
 
     # ---------------- Decode device phase ---------------------------------
-    # Times the chained parallel executor (ops/exec_chain.py): transducer
-    # parse -> per-chain op compaction -> C-chain lockstep execution, all in
-    # one jit over device-resident inputs.
-    segs0 = split_body(blocks_enc[0], [h[0] for h in all_hints[0]])
-    nseg = len(segs0)
-    spc, nchain = ec.chain_geometry(nseg, seg, ec.RANGE)
-    lanes = 128 * -(-(nchain * spc) // 128)
-    pc_data = max(len(sb) for sb in segs0)
-    n_rows = -(-(pc_data + 1) // 512) * 512
-    pc = n_rows + ec.ROW_B
-    lens = np.zeros((lanes // 128, 128), np.int32)
-    comp_lanes = np.zeros((lanes, pc), np.uint8)
-    for i, sb in enumerate(segs0):
-        a = np.frombuffer(sb, np.uint8)
-        comp_lanes[i, : len(a)] = a
-        lens[i // 128, i % 128] = len(a)
-    cap_pc = spc * (seg // 2 + 2)
-    cap_pc = -(-cap_pc // ec.OP_T) * ec.OP_T
-    out_rows = nchain * spc * seg // ec.ROW_B
+    # Times the scheduled chained executor (ops/exec_chain.py) over a BATCH
+    # of blocks per dispatch: transducer parse -> per-range op compaction ->
+    # serpentine range schedule -> 16-chain lockstep execution, one jit over
+    # device-resident inputs.
+    dec_batch = min(int(os.environ.get("MINLZ_DEC_BATCH", "4")), n_blocks)
+    batch_segs = [
+        split_body(body, [h[0] for h in hints])
+        for body, hints in zip(blocks_enc[:dec_batch], all_hints[:dec_batch])
+    ]
+    (comp_lanes, lens, bases, lastrow), statics, out0, _ = ec.plan_batch(
+        batch_segs, seg, ec.RANGE
+    )
     comp_d = jnp.asarray(comp_lanes)  # uint8, shipped once
     lens_d = jnp.asarray(lens)
+    bases_d = jnp.asarray(bases)
+    lastrow_d = jnp.asarray(lastrow)
 
-    def dec_step(cl, ln):
-        return ec._decode_block_jit(
-            cl, ln, n_rows=n_rows, pc=pc, seg=seg, spc=spc, nchain=nchain,
-            cap_pc=cap_pc, out_rows=out_rows,
-        )
+    def dec_step(cl, ln, ba, lr):
+        return ec._decode_batch_jit(cl, ln, ba, lr, **statics)[0]
 
-    t_dec_dev, out_dev = timed_device(
-        jax.jit(dec_step), (comp_d, lens_d), ITERS
+    t_dec_batch, out_dev = timed_device(
+        jax.jit(dec_step), (comp_d, lens_d, bases_d, lastrow_d), ITERS
     )
-    t_dec_dev_total = t_dec_dev * n_blocks
+    t_dec_dev_total = t_dec_batch / dec_batch * n_blocks
 
-    # Decode correctness for the timed block.
-    comp_rows = lanes * pc // ec.ROW_B
-    out_np = np.ascontiguousarray(
-        np.asarray(out_dev[1 + comp_rows : 1 + comp_rows + out_rows])
-    )
+    # Decode correctness for every block in the timed batch.
+    out_rows = statics["out_rows"]
+    out_np = np.ascontiguousarray(np.asarray(out_dev[out0 : out0 + out_rows]))
     out_bytes = out_np.view(np.uint32).view(np.uint8).reshape(-1)
-    ok = ok and out_bytes[:block_size].tobytes() == blocks[0]
+    for bi in range(dec_batch):
+        got = out_bytes[bi * block_size : (bi + 1) * block_size].tobytes()
+        ok = ok and got == blocks[bi]
 
     # ---------------- Stream-layer roundtrip (small, end-to-end) ----------
     small = corpus[: 1 << 20]
@@ -265,7 +257,8 @@ def main():
         "decode_gbps": round(dec_gbps, 4),
         "enc_device_ms_per_mb": round(t_enc_dev * 1000, 2),
         "enc_host_ms_per_mb": round(t_enc_host / n_blocks * 1000, 2),
-        "dec_device_ms_per_mb": round(t_dec_dev * 1000, 2),
+        "dec_device_ms_per_mb": round(t_dec_batch / dec_batch * 1000, 2),
+        "dec_batch": dec_batch,
         "ratio": round(ratio, 4),
         "roundtrip_exact": bool(ok),
         "corpus_mb": CORPUS_MB,

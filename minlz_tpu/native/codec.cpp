@@ -1172,7 +1172,7 @@ extern "C" {
 static bool parse_serialize_range(
     const uint8_t* src, size_t n, const int32_t* dist, size_t seg,
     size_t seg_begin, size_t seg_end, std::vector<uint8_t>& body,
-    size_t limit, int64_t* hints_out, size_t rng) {
+    size_t limit, int64_t* hints_out, size_t rng, int level) {
   for (size_t si = seg_begin; si < seg_end; si++) {
     size_t s0 = si * seg;
     size_t s1 = s0 + seg < n ? s0 + seg : n;
@@ -1235,9 +1235,10 @@ static bool parse_serialize_range(
         p++;
         continue;
       }
-      // Lazy lookahead: a strictly better match one byte ahead wins (never
-      // defers a repeat or an already-long match — not worth the compares).
-      if (!is_rep && l < 16 && p + 5 <= s1) {
+      // Lazy lookahead: a strictly better match ahead wins (never defers a
+      // repeat or an already-long match — not worth the compares).  Level
+      // -1 skips it (speed); level 3 also probes two bytes ahead.
+      if (!is_rep && l < 16 && p + 5 <= s1 && level >= 1) {
         uint32_t d1 = (uint32_t)dist[p + 1];
         if (d1 && d1 != d) {
           size_t l1 = vlen(p + 1, d1);
@@ -1248,6 +1249,16 @@ static bool parse_serialize_range(
             continue;
           }
         }
+        if (level >= 3 && p + 6 <= s1) {
+          uint32_t d2 = (uint32_t)dist[p + 2];
+          if (d2 && d2 != d) {
+            size_t l2 = vlen(p + 2, d2);
+            if (l2 > l + 2) {
+              p++;  // re-evaluated at p+1/p+2 on the next iterations
+              continue;
+            }
+          }
+        }
       }
       // Backward extension over pending literals (not past segment start
       // nor, when range-clamped, past the source range boundary).
@@ -1256,6 +1267,17 @@ static bool parse_serialize_range(
              src[base - 1] == src[base - 1 - d]) {
         base--;
         l++;
+      }
+      // Token-profit gate (post-extension): a copy3 op costs 4+ wire
+      // bytes, so l = 4 saves zero and splits the literal run (second
+      // literal header) — strictly unprofitable; require l >= 6.  A
+      // copy2 at l = 4 still saves a byte, and measurement showed gating
+      // it trades ~0.3 ratio points for only ~3% fewer decode ops — a
+      // bad trade, so copy1/copy2/repeat keep the spec minimum.
+      // (/root/reference/encode_l3.go:147-169 cost model analog.)
+      if (!is_rep && d > 65599 && l < 6) {
+        p++;
+        continue;
       }
       size_t nlits = base - lit_start;
       const uint8_t* lits = src + lit_start;
@@ -1294,7 +1316,7 @@ static bool parse_serialize_range(
 MINLZ_EXPORT long minlz_parse_serialize(
     const uint8_t* src, size_t n, const int32_t* dist, const int32_t* len,
     size_t seg, uint8_t* out, size_t outcap, size_t limit,
-    int64_t* hints_out, size_t rng) {
+    int64_t* hints_out, size_t rng, int level) {
   (void)len;  // device lengths are proposals; ranges re-extend byte-exactly
   size_t nseg = (n + seg - 1) / seg;
   unsigned hw = std::thread::hardware_concurrency();
@@ -1306,7 +1328,7 @@ MINLZ_EXPORT long minlz_parse_serialize(
     std::vector<uint8_t> body;
     body.reserve(n / 2 + 64);
     if (!parse_serialize_range(src, n, dist, seg, 0, nseg, body, limit,
-                               hints_out, rng))
+                               hints_out, rng, level))
       return -1;
     if (body.size() > outcap) return -2;
     memcpy(out, body.data(), body.size());
@@ -1324,7 +1346,7 @@ MINLZ_EXPORT long minlz_parse_serialize(
       // parse_serialize_range indexes hints_out with ABSOLUTE segment
       // indices [b, e) — pass the base pointer, not hints_out + b.
       oks[t] = parse_serialize_range(src, n, dist, seg, b, e, bodies[t],
-                                     limit, hints_out, rng);
+                                     limit, hints_out, rng, level);
     });
   }
   for (auto& th : threads) th.join();

@@ -84,14 +84,17 @@ class _NativeCodec:
             return None
         return out.raw[:wrote], [(int(h), i * seg) for i, h in enumerate(hints[:nseg])]
 
-    def parse_serialize(self, src: bytes, dist, seg: int, rng: int = 0):
+    def parse_serialize(self, src: bytes, dist, seg: int, rng: int = 0,
+                        level: int = 1):
         """Fused greedy parse + serialize from device match proposals.
 
         dist: int32[n] candidate distances (0 = none).  Every chosen match
         is byte-verified and re-extended natively.  rng > 0 (power of two)
         clamps match sources to the rng-aligned range of their destination
-        (chained decode contract).  Returns (body, hints) or None when the
-        body would not be smaller than the input."""
+        (chained decode contract).  level tunes the emit policy: -1 skips
+        lazy lookahead, 3 adds a 2-byte lookahead and relaxes the copy2
+        token-profit gate.  Returns (body, hints) or None when the body
+        would not be smaller than the input."""
         import numpy as np
 
         if not hasattr(self._lib, "minlz_parse_serialize"):
@@ -105,7 +108,7 @@ class _NativeCodec:
         lens = np.zeros(1, np.int32)  # lengths are recomputed natively
         wrote = self._lib.minlz_parse_serialize(
             src, n, dist.ctypes.data, lens.ctypes.data, seg, out, cap,
-            max(n - 1, 1), hints.ctypes.data, rng,
+            max(n - 1, 1), hints.ctypes.data, rng, level,
         )
         if wrote < 0:
             return None
@@ -184,7 +187,7 @@ def get_codec():
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
-            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
         ]
     if hasattr(lib, "minlz_lz4_convert_block"):
         lib.minlz_lz4_convert_block.restype = ctypes.c_long

@@ -91,23 +91,30 @@ class DeviceCodec:
             seg *= 2
         return seg
 
-    def encode(self, data: bytes, level: int = 1):
+    # Stream levels map onto device effort tiers: LEVEL_SUPER_FAST (-1)
+    # drops sort passes, 1/2 scale tier count, LEVEL_SMALLEST (3) deepens
+    # candidate sets and relaxes the emit profit gate (see
+    # encode_kernel.find_matches_dyn and codec.cpp parse_serialize_range;
+    # reference per-level machines encode_l0.go:32..encode_l3.go:38).
+    def encode(self, data: bytes, level: int = 2):
         seg = self._seg_for(len(data))
         rng = self._chain.RANGE
-        block, hints = self._enc.encode_block_device(bytes(data), seg, rng)
+        block, hints = self._enc.encode_block_device(
+            bytes(data), seg, rng, level
+        )
         if block is None:
             return None
         # Strip the 0x00 marker + uvarint for stream framing is done by the
         # caller; here return the full block plus the hint payload.
         return block, marshal_hints(seg, hints, rng)
 
-    def encode_batch(self, blocks, level: int = 1):
+    def encode_batch(self, blocks, level: int = 2):
         """Encode many blocks with one device dispatch.  Returns a list of
         (block, hint_payload) | None entries, aligned with the input."""
         seg = self._seg_for(max(len(b) for b in blocks))
         rng = self._chain.RANGE
         results = self._enc.encode_blocks_device(
-            [bytes(b) for b in blocks], seg, rng
+            [bytes(b) for b in blocks], seg, rng, level
         )
         out = []
         for block, hints in results:
@@ -116,6 +123,15 @@ class DeviceCodec:
             else:
                 out.append((block, marshal_hints(seg, hints, rng)))
         return out
+
+    @staticmethod
+    def _chained_ok(seg_size: int, rng: int, decoded_len: int) -> bool:
+        return bool(
+            rng
+            and rng % seg_size == 0
+            and seg_size <= 8192
+            and decoded_len <= (4 << 20)
+        )
 
     def decode(self, body: bytes, hint_payload: bytes, decoded_len: int):
         seg_size, offs, rng = parse_hints(hint_payload)
@@ -129,12 +145,7 @@ class DeviceCodec:
         # Range-clamped streams (hints v2) take the chained executor: C
         # parallel op chains over range-aligned spans, packed int32 arena
         # (~2.2x block VMEM) — handles 4MiB blocks on 16MB-VMEM parts.
-        if (
-            rng
-            and rng % seg_size == 0
-            and seg_size <= 8192
-            and decoded_len <= (4 << 20)
-        ):
+        if self._chained_ok(seg_size, rng, decoded_len):
             return self._chain.decode_block_chained(
                 segs, decoded_len, seg_size, rng
             )
@@ -145,6 +156,60 @@ class DeviceCodec:
         if len(segs) <= max_lanes and decoded_len <= max_out:
             return self._dec.decode_block_tpu(segs, decoded_len, seg_size)
         raise CorruptError("block exceeds device lane budget")
+
+    # Per-dispatch budget for batched decode: the scheduled executor holds
+    # [comp || out] in one packed VMEM arena (~2.2x the output bytes).
+    BATCH_BYTES = 4 << 20
+    BATCH_BLOCKS = 8
+
+    def decode_batch(self, items):
+        """Decode many blocks with as few device dispatches as possible.
+
+        items: list of (body, hint_payload, decoded_len).  Blocks whose
+        hints are range-clamped (v2) and share a segment geometry are
+        decoded in batched dispatches via the scheduled chained executor
+        (reference DecodeConcurrent, reader.go:575-668 — goroutine fan-out
+        replaced by multi-block kernel batching); the rest fall back to
+        single-block decode.  Returns a list of bytes, aligned with items.
+        """
+        out = [None] * len(items)
+        groups = {}
+        for i, (body, hint_payload, dlen) in enumerate(items):
+            seg_size, offs, rng = parse_hints(hint_payload)
+            if seg_size % 128 or not 4096 <= seg_size <= (1 << 20):
+                raise CorruptError(
+                    f"unsupported hint segment size {seg_size}"
+                )
+            if self._chained_ok(seg_size, rng, dlen):
+                groups.setdefault((seg_size, rng), []).append(
+                    (i, split_body(body, offs), dlen)
+                )
+            else:
+                out[i] = self.decode(body, hint_payload, dlen)
+        for (seg_size, rng), entries in groups.items():
+            # Split into dispatches bounded by the VMEM arena budget.
+            batch = []
+            size = 0
+            for e in entries + [None]:
+                if e is None or (
+                    batch
+                    and (
+                        size + e[2] > self.BATCH_BYTES
+                        or len(batch) >= self.BATCH_BLOCKS
+                    )
+                ):
+                    res = self._chain.decode_blocks_chained(
+                        [b[1] for b in batch], [b[2] for b in batch],
+                        seg_size, rng,
+                    )
+                    for (i, _, _), r in zip(batch, res):
+                        out[i] = r
+                    batch = []
+                    size = 0
+                if e is not None:
+                    batch.append(e)
+                    size += e[2]
+        return out
 
 
 _codec = None

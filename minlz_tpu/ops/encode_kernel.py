@@ -104,7 +104,8 @@ def _run_doubling(ext, cap):
     return runs
 
 
-def find_matches_dyn(data_flat, n, seg: int = SEG, rng: int = 0):
+def find_matches_dyn(data_flat, n, seg: int = SEG, rng: int = 0,
+                     level: int = 2):
     """data_flat: [1, N] int32 bytes of the whole block (N = padded);
     ``n`` may be a traced scalar (shard_map / vmap use).
 
@@ -113,18 +114,26 @@ def find_matches_dyn(data_flat, n, seg: int = SEG, rng: int = 0):
     (exec_chain.py) can run ranges as parallel chains.  Matches already
     never cross segment ends, so the clamp is a single check per match.
 
-    Multi-level match finder (all levels are batched windowed sorts — no
-    hash tables, no gathers):
-      * level 0 — stride 1, 4-byte values, byte-exact runs; covers
-        distances < ~8KiB.
-      * level 1 — stride 8, 8-byte sample values (fully verified via two
+    ``level`` scales effort (the reference's encodeBlock level dispatch,
+    encode_l0.go:32 / encode_l1.go:39 / encode_l2.go:61 / encode_l3.go:38,
+    mapped to sort-pass count and candidate depth):
+      * -1 — one aligned short-range pass, single candidate: fastest.
+      *  1 — both short-range passes + the stride-8 mid-range tier.
+      *  2 — adds the stride-64 long-range tier (the prior default).
+      *  3 — deeper candidate sets (nback+1) in every tier.
+
+    Tier structure (all tiers are batched windowed sorts — no hash tables,
+    no gathers):
+      * short — stride 1, 4-byte values, byte-exact runs; covers
+        distances < ~32KiB.
+      * mid — stride 8, 8-byte sample values (fully verified via two
         co-sorted words; consecutive samples tile contiguously), lengths in
-        8-byte units; covers distances < ~64KiB.
-      * level 2 — stride 64, two 32-bit mixes of each 64-byte chunk
+        8-byte units; covers distances < ~128KiB.
+      * long — stride 64, two 32-bit mixes of each 64-byte chunk
         (hash-verified only — the host serializer re-verifies every match
         byte-exactly); covers distances < ~1MiB.
-    Returns (dist, length) as [1, N] int32.  Lengths from levels 1/2 are
-    proposals measured in whole strides; the host parse re-extends.
+    Returns (dist, length) as [1, N] int32.  Lengths from mid/long tiers
+    are proposals measured in whole strides; the host parse re-extends.
     Length is capped so no match output crosses a segment boundary (the
     decode-parallel unit).
     """
@@ -134,16 +143,17 @@ def find_matches_dyn(data_flat, n, seg: int = SEG, rng: int = 0):
 
     best_dist = jnp.zeros_like(pos)
     best_len = jnp.zeros_like(pos)
+    deep = 1 if level >= 3 else 0
 
-    # ---- level 0: stride 1, exact 4-byte windows -------------------------
+    # ---- short tier: stride 1, exact 4-byte windows ----------------------
     v0 = (
         d
         | jnp.roll(d, -1, axis=1) << 8
         | jnp.roll(d, -2, axis=1) << 16
         | jnp.roll(d, -3, axis=1) << 24
     )
-    # Level 0 uses 32KiB windows (hash16 | pos15 packs into int32) for 2x
-    # the exact-match reach of the strided levels' 16KiB sample windows.
+    # The short tier uses 32KiB windows (hash16 | pos15 packs into int32)
+    # for 2x the exact-match reach of the strided tiers' 16KiB windows.
     W = 2 * WINDOW if N % (2 * WINDOW) == 0 else min(WINDOW, N)
     pos_bits0 = W.bit_length() - 1 if W < 32768 else 15
     h = ((v0 * _PRIME4) >> (32 - 16)).astype(jnp.int32)
@@ -154,13 +164,15 @@ def find_matches_dyn(data_flat, n, seg: int = SEG, rng: int = 0):
 
     # Two passes (aligned + half-window shifted): short matches crossing
     # window boundaries are invisible to the aligned pass AND to the
-    # strided levels (8-byte sampling rarely aligns on a <16-byte match),
+    # strided tiers (8-byte sampling rarely aligns on a <16-byte match),
     # so the shifted pass is worth its ~1.2ms — dropping it costs ~8 ratio
-    # points on match-dense data (measured on the bench corpus).
-    cands = _window_pass(keyflat, [v0i], N, W, 0, nback=2,
+    # points on match-dense data (measured on the bench corpus).  Level -1
+    # drops it anyway: speed over ratio is that level's contract.
+    cands = _window_pass(keyflat, [v0i], N, W, 0,
+                         nback=(1 if level < 1 else 2 + deep),
                          pos_bits=pos_bits0)
-    if N > W:
-        cands += _window_pass(keyflat, [v0i], N, W, W // 2, nback=1,
+    if N > W and level >= 1:
+        cands += _window_pass(keyflat, [v0i], N, W, W // 2, nback=1 + deep,
                               pos_bits=pos_bits0)
 
     for cand in cands:
@@ -178,8 +190,13 @@ def find_matches_dyn(data_flat, n, seg: int = SEG, rng: int = 0):
         best_dist = jnp.where(better, dist, best_dist)
         best_len = jnp.where(better, length, best_len)
 
-    # ---- levels 1/2: strided samples for long-range matches --------------
-    for stride, mixed in ((8, False), (64, True)):
+    # ---- mid/long tiers: strided samples for long-range matches ----------
+    tiers = []
+    if level >= 1:
+        tiers.append((8, False))
+    if level >= 2:
+        tiers.append((64, True))
+    for stride, mixed in tiers:
         M = N // stride
         if M < 256:
             break
@@ -215,9 +232,10 @@ def find_matches_dyn(data_flat, n, seg: int = SEG, rng: int = 0):
         Ws = min(WINDOW, M)
         while M % Ws:  # sort rows must tile M exactly
             Ws //= 2
-        scands = _window_pass(keyflat, vals, M, Ws, 0, nback=1)
+        scands = _window_pass(keyflat, vals, M, Ws, 0, nback=1 + deep)
         if M > Ws:
-            scands += _window_pass(keyflat, vals, M, Ws, Ws // 2, nback=1)
+            scands += _window_pass(keyflat, vals, M, Ws, Ws // 2,
+                                   nback=1 + deep)
         run_cap = max(seg // stride, 2)
         sd_best = jnp.zeros_like(spos)
         sl_best = jnp.zeros_like(spos)
@@ -257,10 +275,11 @@ def find_matches_dyn(data_flat, n, seg: int = SEG, rng: int = 0):
     return best_dist, best_len
 
 
-@functools.partial(jax.jit, static_argnames=("n", "seg", "rng"))
-def find_matches(data_flat, n: int, seg: int = SEG, rng: int = 0):
+@functools.partial(jax.jit, static_argnames=("n", "seg", "rng", "level"))
+def find_matches(data_flat, n: int, seg: int = SEG, rng: int = 0,
+                 level: int = 2):
     """jit-cached wrapper of find_matches_dyn for static block sizes."""
-    return find_matches_dyn(data_flat, n, seg, rng)
+    return find_matches_dyn(data_flat, n, seg, rng, level)
 
 
 @functools.partial(jax.jit, static_argnames=("seg", "max_ops"))
@@ -451,20 +470,22 @@ def serialize_segment(src: bytes, take, tok_off, tok_len, is_rep) -> bytes:
     return bytes(dst)
 
 
-@functools.partial(jax.jit, static_argnames=("seg", "rng"))
-def _find_matches_batch(data_u8, ns, seg: int = SEG, rng: int = 0):
+@functools.partial(jax.jit, static_argnames=("seg", "rng", "level"))
+def _find_matches_batch(data_u8, ns, seg: int = SEG, rng: int = 0,
+                        level: int = 2):
     """vmapped match finding over [B, N] blocks with per-block valid
     lengths — one device dispatch for a whole batch of stream blocks."""
 
     def one(d, n):
         dist, _ = find_matches_dyn(d[None, :].astype(jnp.int32), n, seg,
-                                   rng)
+                                   rng, level)
         return dist[0]
 
     return jax.vmap(one)(data_u8, ns)
 
 
-def encode_blocks_device(blocks, seg: int = SEG, rng: int = 0):
+def encode_blocks_device(blocks, seg: int = SEG, rng: int = 0,
+                         level: int = 2):
     """Encode a batch of blocks with ONE device dispatch (the stream
     writer's batching path; replaces per-block dispatches).
 
@@ -484,16 +505,16 @@ def encode_blocks_device(blocks, seg: int = SEG, rng: int = 0):
         arr[i, : len(b)] = np.frombuffer(b, np.uint8)
         ns[i] = len(b)
     dists = np.asarray(_find_matches_batch(jnp.asarray(arr), jnp.asarray(ns),
-                                           seg, rng))
+                                           seg, rng, level))
     from ..native.codec import get_codec
 
     codec = get_codec()
     if codec is None:
         # No native toolchain: per-block slow path (oracle serializer).
-        return [encode_block_device(b, seg, rng) for b in blocks]
+        return [encode_block_device(b, seg, rng, level) for b in blocks]
     out = []
     for i, b in enumerate(blocks):
-        res = codec.parse_serialize(b, dists[i, : len(b)], seg, rng)
+        res = codec.parse_serialize(b, dists[i, : len(b)], seg, rng, level)
         if res is None:
             out.append((None, None))
             continue
@@ -505,7 +526,8 @@ def encode_blocks_device(blocks, seg: int = SEG, rng: int = 0):
     return out
 
 
-def encode_block_device(data: bytes, seg: int = SEG, rng: int = 0):
+def encode_block_device(data: bytes, seg: int = SEG, rng: int = 0,
+                        level: int = 2):
     """Encode one block as concatenated segments with a shared match window.
 
     Returns (block_bytes, hints) where hints is a list of
@@ -517,13 +539,13 @@ def encode_block_device(data: bytes, seg: int = SEG, rng: int = 0):
         return b"\x00", []
     nseg = -(-n // seg)
     N = nseg * seg
-    # Pad to the level-0 window size (batched sort row length).
+    # Pad to the short-tier window size (batched sort row length).
     N = -(-N // (2 * WINDOW)) * (2 * WINDOW)
     flat = np.zeros(N, np.uint8)
     flat[:n] = np.frombuffer(data, np.uint8)
 
     dist, length = find_matches(
-        jnp.asarray(flat, dtype=jnp.int32)[None, :], n, seg, rng
+        jnp.asarray(flat, dtype=jnp.int32)[None, :], n, seg, rng, level
     )
     from ..native.codec import get_codec
 
@@ -533,7 +555,7 @@ def encode_block_device(data: bytes, seg: int = SEG, rng: int = 0):
         # Fused native parse+serialize: verifies and re-extends every device
         # match proposal byte-exactly (device lengths are only hints).
         dist_np = np.asarray(dist).reshape(-1)[:n]
-        res = codec.parse_serialize(data, dist_np, seg, rng)
+        res = codec.parse_serialize(data, dist_np, seg, rng, level)
     if res is not None:
         body, hints = res
     else:

@@ -106,29 +106,32 @@ def _stitch_kernel(meta_ref, a_ref, b_ref, outa_ref, outb_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spc", "cap_pc", "pc", "nchain")
+    jax.jit, static_argnames=("nchain", "cap_chain", "pc")
 )
-def compact_ops_chained(kind, dst, clen, csrc, lsrc, llen,
-                        spc: int, cap_pc: int, pc: int, nchain: int):
-    """Pack per-row op records into per-chain dense lists.
+def compact_ops_dense(kind, dst, clen, csrc, lsrc, llen, lane_off, lane_cnt,
+                      nchain: int, cap_chain: int, pc: int):
+    """Pack per-row op records into DENSE per-chain op lists.
 
-    kind..llen: [P, sub, 128] int32 transducer emissions (see transducer.py).
-    spc: segments (lanes) per chain; cap_pc: padded ops per chain (multiple
-    of OP_T); pc: compressed bytes per lane in the arena (for global lsrc).
+    kind..llen: [P, sub, 128] int32 transducer emissions (see
+    transducer.py).  lane_off/lane_cnt: [L] int32 — each lane's dense
+    destination slot range within [nchain * cap_chain) (the scheduler lays
+    chains out back-to-back with no intra-chain padding, so executor
+    iterations track the max chain TOTAL, not per-slot maxima).  Lane ids
+    must be monotone along each chain's dense stream (the scheduler orders
+    each chain's ranges ascending) — that is what lets the per-op owning
+    lane be reconstructed with a tiny scatter + cummax.  pc: compressed
+    bytes per lane in the arena (for global lsrc).
 
     Executor words: A = llen | clen << 14; B = csrc (copy offset, up to
     RANGE = 17 bits); C = lane*pc + lsrc (global arena byte position of
     the first literal).  To cut sort and stitch bandwidth, the three words
     travel packed in TWO (llen/clen are 14-bit so seg = 8192 whole-literal
-    or whole-copy records survive, lsrc is 14-bit, csrc 17)
-    and unpack after the stitch; the per-op lane id is NOT packed — it is
-    reconstructed from the per-lane count scan by a tiny scatter + cummax
-    over the dense op positions.  Returns
-    (ops [nchain, cap_pc, 3] int32, counts [nchain] int32).
+    or whole-copy records survive, lsrc is 14-bit, csrc 17) and unpack
+    after the stitch.  Returns ops [nchain, cap_chain, 3] int32.
     """
     del dst  # cursors are append-only; dst is implied
     P = kind.shape[0]
-    L = nchain * spc  # lanes actually covered by chains
+    L = lane_off.shape[0]
 
     # Pack in parse layout (cheap vector work), transpose only 3 arrays.
     # w1 is already the executor A word (llen | clen << 14, 28 bits); w2
@@ -152,19 +155,14 @@ def compact_ops_chained(kind, dst, clen, csrc, lsrc, llen,
         (key, w1, w2), dimension=1, num_keys=1
     )
     del key_s
-    counts = jnp.sum(real, axis=1, dtype=jnp.int32)  # [L]
-    within = jnp.cumsum(counts.reshape(nchain, spc), axis=1)
-    within = (within - counts.reshape(nchain, spc)).reshape(-1)
-    lane_idx = jnp.arange(L, dtype=jnp.int32)[:, None]
-    chain = lane_idx[:, 0] // spc
-    meta = jnp.stack([chain * cap_pc + within, counts], axis=1)
+    meta = jnp.stack([lane_off, lane_cnt], axis=1)
 
     Wr = P // 128
     pad = jnp.zeros((L, 1, 128), jnp.int32)
     a_p = jnp.concatenate([w1_s.reshape(L, Wr, 128), pad], axis=1)
     b_p = jnp.concatenate([w2_s.reshape(L, Wr, 128), pad], axis=1)
 
-    rows = nchain * cap_pc // 128
+    rows = nchain * cap_chain // 128
     win_spec = pl.BlockSpec((1, Wr + 1, 128), lambda t: (t, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -181,17 +179,18 @@ def compact_ops_chained(kind, dst, clen, csrc, lsrc, llen,
         out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)] * 2,
         interpret=_interpret(),
     )(meta, a_p, b_p)
-    p1 = out[0].reshape(nchain, cap_pc)
-    p2 = out[1].reshape(nchain, cap_pc)
+    p1 = out[0].reshape(nchain, cap_chain)
+    p2 = out[1].reshape(nchain, cap_chain)
     # Reconstruct each dense op slot's owning lane: scatter every lane's
-    # first-op position (chain-dense coords), then forward-fill.  Empty
-    # lanes collide on the same slot; max keeps the later lane, which is
-    # correct since the earlier lane owns no slots.
-    flat_pos = chain * cap_pc + within
+    # first-op position, then forward-fill.  Empty lanes collide on the
+    # same slot; max keeps the later lane, which is correct since the
+    # earlier lane owns no slots (lane ids are monotone per chain's
+    # stream by the scheduler's ascending-range order).
+    flat_pos = jnp.minimum(lane_off, nchain * cap_chain - 1)
     lane_map = (
-        jnp.zeros((nchain * cap_pc,), jnp.int32)
+        jnp.zeros((nchain * cap_chain,), jnp.int32)
         .at[flat_pos].max(jnp.arange(L, dtype=jnp.int32))
-        .reshape(nchain, cap_pc)
+        .reshape(nchain, cap_chain)
     )
     lane_u = jax.lax.cummax(lane_map, axis=1)
     # Unpack to executor words.  +ROW_B on C: the arena carries one guard
@@ -200,54 +199,68 @@ def compact_ops_chained(kind, dst, clen, csrc, lsrc, llen,
     a = p1
     b = p2 & 0x1FFFF
     c = ((p2 >> 17) & 0x3FFF) + lane_u * pc + ROW_B
-    ops = jnp.stack([a, b, c], axis=2)
-    chain_counts = jnp.sum(counts.reshape(nchain, spc), axis=1)
-    return ops, chain_counts
+    return jnp.stack([a, b, c], axis=2)
 
 
 # --------------------------------------------------------------------------
-# Chained executor kernel
+# Scheduled chained executor kernel
 # --------------------------------------------------------------------------
 
-def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
+def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
                        n_arena_rows: int):
-    """Build the chained executor.
+    """Build the scheduled chained executor.
 
-    counts_ref: SMEM [nchain].  ops_ref: 1D SMEM tile of
-    nchain * OP_T * 3 words (tile-major repack of the per-chain lists) —
-    1D because Mosaic's (8, 128) divisibility rule applies to >=2D SMEM
-    blocks and a (1, W) block over a multi-tile array fails it.
-    arena_in_ref/arena_ref: VMEM [n_arena_rows, 128] int32 — [comp rows
-    || out rows], aliased input/output (all access goes through the out
-    ref; unwritten rows read back the aliased input).  st_ref: SMEM scratch (nchain*8,) persisted
-    per-chain scalars.  Sub-slot stores read-modify-write the arena row
-    directly (write-through keeps rows current, so the row doubles as the
-    accumulator), and each sub-slot's vector work runs under
-    ``pl.when(t? > 0)`` — a vacuous slot (pure-copy record's literal slot,
-    a row-crossing literal's copy slot, or an exhausted chain idling while
-    stragglers finish) costs only scalar bookkeeping.
+    Each chain walks K *slots* (ranges) laid out DENSELY in its op stream:
+    slot k occupies [bnd_k, bnd_k + counts[ch*K+k]) where bnd_k is the
+    running sum of earlier slot counts — no intra-chain padding, so the
+    while-loop iteration count tracks the max chain TOTAL (schedule-
+    balanced to ~the mean), not per-slot maxima.  The slot->range
+    assignment is a serpentine deal of ranges sorted by op count — ranges
+    are independent by the encoder's source-range clamp, so chains may
+    process them in any order.
+
+    counts_ref/bases_ref/lastrow_ref: SMEM [nchain*K] per-slot op count,
+    output cursor base (arena byte) and last writable arena row.
+    ops_ref: 1D SMEM tile of nchain * OP_T * 3 words (tile-major repack of
+    the per-chain dense streams) — 1D because Mosaic's (8, 128)
+    divisibility rule applies to >=2D SMEM blocks.
+    comp_ref: VMEM [comp_rows_in, 128] int32 — [guard row || comp rows];
+    arena_ref: VMEM [n_arena_rows, 128] int32 output-only — the kernel
+    seeds [guard || comp] from comp_ref and zeros the out region at t==0,
+    so VMEM holds ~1.5x the arena instead of 2x (the r3 layout aliased a
+    full arena input, which OOMed 16 MB scoped VMEM at batch >= 4).
+    st_ref: SMEM scratch (nchain*8,) persisted per-chain scalars.
+    Sub-slot stores read-modify-write the arena row directly
+    (write-through keeps rows current) and each sub-slot's vector work
+    runs under ``pl.when`` — a vacuous slot costs only scalar bookkeeping.
     """
-    F = 8  # scalar state fields per chain
+    F = 8  # scalar state fields per chain (SMEM stride = live scalars)
+    F_S = 8  # live loop-carried scalars per chain
 
-    def kernel(counts_ref, ops_ref, arena_in_ref, arena_ref, st_ref,
-               ):
+    def kernel(counts_ref, bases_ref, lastrow_ref, ops_ref, comp_ref,
+               arena_ref, st_ref):
         t = pl.program_id(0)
         iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         b4 = iota * 4  # first byte index of each packed word
+        comp_rows_in = comp_ref.shape[0]
 
         @pl.when(t == 0)
         def _init():
-            # The HBM buffers are aliased, but on real TPU the output VMEM
-            # block is a distinct, uninitialized buffer — seed it from the
-            # input block (interpret mode pre-copies; hardware does not).
-            arena_ref[...] = arena_in_ref[...]
+            # The output VMEM block is uninitialized on real TPU: seed the
+            # [guard || comp] prefix from the input and zero the out region.
+            arena_ref[0:comp_rows_in] = comp_ref[...]
+            arena_ref[comp_rows_in:n_arena_rows] = jnp.zeros(
+                (n_arena_rows - comp_rows_in, 128), jnp.int32
+            )
             for ch in range(nchain):
-                st_ref[ch * F + 0] = 0  # op_ptr
-                st_ref[ch * F + 1] = 0  # lit_rem
-                st_ref[ch * F + 2] = 0  # cpy_rem
-                st_ref[ch * F + 3] = 1  # eff
-                st_ref[ch * F + 4] = 0  # lsrc_pos
-                st_ref[ch * F + 5] = (out_base_row + ch * chain_rows) * ROW_B
+                st_ref[ch * F + 0] = 0  # slot
+                st_ref[ch * F + 1] = 0  # gidx (dense op index in chain)
+                st_ref[ch * F + 2] = counts_ref[ch * K]  # end of slot 0
+                st_ref[ch * F + 3] = 0  # lit_rem
+                st_ref[ch * F + 4] = 0  # cpy_rem
+                st_ref[ch * F + 5] = 1  # eff
+                st_ref[ch * F + 6] = 0  # lsrc_pos
+                st_ref[ch * F + 7] = bases_ref[ch * K]  # out cursor
 
         def window(byte_start):
             """(8,128) packed words = arena bytes [byte_start, +512)."""
@@ -263,6 +276,11 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
                 jnp.take_along_axis(r0, idx & 127, axis=1),
                 jnp.take_along_axis(r1, idx & 127, axis=1),
             )
+            # Neighbour word wn[i] = word at idx+1 via a second gather
+            # pair.  (Deriving wn from w with a static roll + one
+            # boundary fix-up measured 1.5x SLOWER in-kernel — Mosaic's
+            # static lane roll is not the cheap shuffle one would hope;
+            # keep the 4-barrel form.)
             idx1 = idx + 1
             wn = jnp.where(
                 idx1 < 128,
@@ -303,35 +321,45 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
             n_lo = jnp.clip(lo_b - b4, 0, 4)
             return lowmask(n_hi) & ~lowmask(n_lo)
 
-        limits = [jnp.minimum(counts_ref[ch], (t + 1) * OP_T)
-                  for ch in range(nchain)]
+        lim = (t + 1) * OP_T
 
         def cond(state):
             act = None
             for ch in range(nchain):
-                op, lr, cr = (state[ch * 3], state[ch * 3 + 1],
-                              state[ch * 3 + 2])
-                a = (op < limits[ch]) | (lr > 0) | (cr > 0)
+                s, gidx = state[ch * F_S], state[ch * F_S + 1]
+                lr, cr = state[ch * F_S + 3], state[ch * F_S + 4]
+                a = ((s < K) & (gidx < lim)) | (lr > 0) | (cr > 0)
                 act = a if act is None else (act | a)
             return act
 
         def body(state):
             new = list(state)
             for ch in range(nchain):
-                op = state[ch * 3]
-                lr = state[ch * 3 + 1]
-                cr = state[ch * 3 + 2]
-                eff = state[nchain * 3 + ch * 3]
-                ls = state[nchain * 3 + ch * 3 + 1]
-                cur = state[nchain * 3 + ch * 3 + 2]
-                # Stores clamp into the chain's own span: keeps idle
-                # iterations and hostile op streams from touching other
-                # chains' rows or escaping the arena.
-                last_row = out_base_row + (ch + 1) * chain_rows - 1
+                s = state[ch * F_S]
+                gidx = state[ch * F_S + 1]
+                end = state[ch * F_S + 2]
+                lr = state[ch * F_S + 3]
+                cr = state[ch * F_S + 4]
+                eff = state[ch * F_S + 5]
+                ls = state[ch * F_S + 6]
+                cur = state[ch * F_S + 7]
 
                 need = (lr == 0) & (cr == 0)
-                can = need & (op < limits[ch])
-                idx = jnp.clip(op - t * OP_T, 0, OP_T - 1)
+                # Slot advance: dense layout means the next slot starts
+                # exactly at gidx; only the output cursor and end move
+                # (ranges are independent, so no other state carries over).
+                adv = need & (s < K) & (gidx >= end)
+                s = s + adv.astype(jnp.int32)
+                si = ch * K + jnp.minimum(s, K - 1)
+                cur = jnp.where(adv, bases_ref[si], cur)
+                end = jnp.where(adv, gidx + counts_ref[si], end)
+                # Stores clamp into the current slot's span: keeps idle
+                # iterations and hostile op streams from touching other
+                # ranges' rows or escaping the arena.
+                last_row = lastrow_ref[si]
+
+                can = need & (s < K) & (gidx < end) & (gidx < lim)
+                idx = jnp.clip(gidx - t * OP_T, 0, OP_T - 1)
                 base = ch * (OP_T * 3) + idx * 3
                 a = ops_ref[base]
                 b = ops_ref[base + 1]
@@ -340,7 +368,7 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
                 cr = jnp.where(can, (a >> 14) & 0x3FFF, cr)
                 eff = jnp.where(can, jnp.maximum(b, 1), eff)
                 ls = jnp.where(can, cw, ls)
-                op = op + can.astype(jnp.int32)
+                gidx = gidx + can.astype(jnp.int32)
 
                 # literal sub-slot (vector work gated: pure-copy records
                 # and idle chains pay only the scalar bookkeeping)
@@ -388,57 +416,54 @@ def _make_chain_kernel(nchain: int, out_base_row: int, chain_rows: int,
                 cr = cr - tb
                 eff = jnp.where((tb == eff) & (cr > 0), eff * 2, eff)
 
-                new[ch * 3] = op
-                new[ch * 3 + 1] = lr
-                new[ch * 3 + 2] = cr
-                new[nchain * 3 + ch * 3] = eff
-                new[nchain * 3 + ch * 3 + 1] = ls
-                new[nchain * 3 + ch * 3 + 2] = cur
+                new[ch * F_S] = s
+                new[ch * F_S + 1] = gidx
+                new[ch * F_S + 2] = end
+                new[ch * F_S + 3] = lr
+                new[ch * F_S + 4] = cr
+                new[ch * F_S + 5] = eff
+                new[ch * F_S + 6] = ls
+                new[ch * F_S + 7] = cur
             return tuple(new)
 
         state = []
         for ch in range(nchain):
-            state += [st_ref[ch * F + 0], st_ref[ch * F + 1],
-                      st_ref[ch * F + 2]]
-        for ch in range(nchain):
-            state += [st_ref[ch * F + 3], st_ref[ch * F + 4],
-                      st_ref[ch * F + 5]]
+            state += [st_ref[ch * F + j] for j in range(F_S)]
         state = jax.lax.while_loop(cond, body, tuple(state))
         for ch in range(nchain):
-            st_ref[ch * F + 0] = state[ch * 3]
-            st_ref[ch * F + 1] = state[ch * 3 + 1]
-            st_ref[ch * F + 2] = state[ch * 3 + 2]
-            st_ref[ch * F + 3] = state[nchain * 3 + ch * 3]
-            st_ref[ch * F + 4] = state[nchain * 3 + ch * 3 + 1]
-            st_ref[ch * F + 5] = state[nchain * 3 + ch * 3 + 2]
+            for j in range(F_S):
+                st_ref[ch * F + j] = state[ch * F_S + j]
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nchain", "cap_pc", "out_base_row", "chain_rows",
-                     "n_arena_rows"),
+    static_argnames=("nchain", "K", "cap_chain", "n_arena_rows"),
 )
-def execute_chained(ops_flat, counts, arena, nchain: int, cap_pc: int,
-                    out_base_row: int, chain_rows: int, n_arena_rows: int):
-    """Run the chained executor.  ops_flat: [n_tiles * tile_words(nchain)]
-    tile-major op words (flat 1D with each tile zero-padded to a 1024-word
-    multiple: Mosaic tiles 1D memrefs by 1024 and the grid-stepped block
-    must divide evenly; the >=2D (8, 128) rule is no easier to satisfy
-    here).  arena: [n_arena_rows, 128] int32 packed bytes with a guard row
-    at row 0 and the compressed lanes at rows [1, out_base_row).  Returns
-    the arena with the output region filled."""
-    grid = (cap_pc // OP_T,)
+def execute_scheduled(ops_flat, counts, bases, lastrows, comp, nchain: int,
+                      K: int, cap_chain: int, n_arena_rows: int):
+    """Run the scheduled chained executor.  ops_flat:
+    [n_tiles * tile_words(nchain)] tile-major op words (flat 1D with each
+    tile zero-padded to a 1024-word multiple: Mosaic tiles 1D memrefs by
+    1024 and the grid-stepped block must divide evenly).  counts/bases/
+    lastrows: [nchain*K] int32 per-slot meta (dense layout: slot k of a
+    chain starts at the running sum of its earlier slot counts).  comp:
+    [comp_rows_in, 128] int32 packed bytes — guard row at row 0,
+    compressed lanes after it.  Returns the arena [n_arena_rows, 128]
+    with the output region filled."""
+    grid = (cap_chain // OP_T,)
     tile_w = tile_words(nchain)
     kernel = pl.pallas_call(
-        _make_chain_kernel(nchain, out_base_row, chain_rows, n_arena_rows),
+        _make_sched_kernel(nchain, K, cap_chain, n_arena_rows),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_w,), lambda t: (t,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_arena_rows, 128), lambda t: (0, 0),
+            pl.BlockSpec((comp.shape[0], 128), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n_arena_rows, 128), lambda t: (0, 0),
@@ -447,30 +472,34 @@ def execute_chained(ops_flat, counts, arena, nchain: int, cap_pc: int,
         scratch_shapes=[
             pltpu.SMEM((nchain * 8,), jnp.int32),
         ],
-        input_output_aliases={2: 0},
         interpret=_interpret(),
     )
-    return kernel(counts, ops_flat, arena)
+    return kernel(counts, bases, lastrows, ops_flat, comp)
 
 
 # --------------------------------------------------------------------------
-# Fused block decode: parse -> compact -> execute in one jit
+# Fused batched decode: parse -> compact -> schedule -> execute in one jit
 # --------------------------------------------------------------------------
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_rows", "pc", "seg", "spc", "nchain", "cap_pc",
+    static_argnames=("n_rows", "pc", "spr", "R", "K", "nchain", "cap_pr",
                      "out_rows"),
 )
-def _decode_block_jit(comp_lanes, lens, n_rows: int, pc: int, seg: int,
-                      spc: int, nchain: int, cap_pc: int, out_rows: int):
-    """comp_lanes: [lanes, pc] uint8 per-segment token streams (zero
-    padded); lens: [sub, 128] int32.  Returns the filled arena
-    [comp_rows + out_rows + 2, 128] int32."""
+def _decode_batch_jit(comp_lanes, lens, bases_r, lastrow_r, n_rows: int,
+                      pc: int, spr: int, R: int, K: int, nchain: int,
+                      cap_pr: int, out_rows: int):
+    """Fused multi-block decode.  comp_lanes: [lanes, pc] uint8 per-segment
+    token streams (zero padded, all blocks' segments stacked); lens:
+    [sub, 128] int32; bases_r/lastrow_r: [R] int32 per-range output cursor
+    base (arena byte) / last writable arena row.  Returns (arena, counts):
+    the filled arena [1 + comp_rows + out_rows + 2, 128] int32 and the
+    per-range op counts (for host-side cap-overflow detection)."""
     from .pallas_decode import parse_segments_pallas
 
     lanes = comp_lanes.shape[0]
     sub = lanes // 128
+    L = R * spr
 
     # Parse wants row-major packed words [n_rows//4, sub, 128].
     ct = comp_lanes[:, :n_rows].T.astype(jnp.int32)  # [n_rows, lanes]
@@ -478,11 +507,64 @@ def _decode_block_jit(comp_lanes, lens, n_rows: int, pc: int, seg: int,
     words = (ct[:, 0] | (ct[:, 1] << 8) | (ct[:, 2] << 16)
              | (ct[:, 3] << 24))
     emits = parse_segments_pallas(words, lens, n_rows)
+    kind = emits[0]
 
-    ops, counts = compact_ops_chained(
-        *emits, spc=spc, cap_pc=cap_pc, pc=pc, nchain=nchain
+    # Schedule BEFORE compaction: per-lane/per-range op counts are cheap
+    # column sums, and knowing the (serpentine) range->chain deal up front
+    # lets the stitch write every chain's ops DENSELY — the executor's
+    # iteration count then tracks the max chain total (~the mean), not
+    # per-slot maxima.  All scheduling arrays are tiny (<= a few hundred).
+    lane_counts = jnp.sum(kind > 0, axis=0, dtype=jnp.int32).reshape(-1)[:L]
+    counts = lane_counts.reshape(R, spr).sum(axis=1)  # per-range ops
+    counts_c = jnp.minimum(counts, cap_pr)  # cap (overflow detected host-side)
+
+    CK = nchain * K
+    order = jnp.argsort(-counts)  # ranges by op count, descending
+    rr = jnp.arange(CK, dtype=jnp.int32)
+    sl = rr // nchain
+    po = rr % nchain
+    chain_of_rank = jnp.where(sl % 2 == 0, po, nchain - 1 - po)
+    rng_of_rank = jnp.where(
+        rr < R, order[jnp.minimum(rr, R - 1)], R
+    )  # R = empty-slot sentinel
+    assigned = (
+        jnp.full((nchain, K), R, jnp.int32)
+        .at[chain_of_rank, sl].set(rng_of_rank)
     )
-    n_tiles = cap_pc // OP_T
+    # Each chain processes its ranges in ascending range order: lane ids
+    # stay monotone along the dense stream (compact_ops_dense relies on
+    # this for its scatter+cummax lane reconstruction).
+    assigned = jnp.sort(assigned, axis=1)  # sentinels sort last
+    a_cl = jnp.minimum(assigned, R - 1)
+    valid = assigned < R
+    counts_cs = jnp.where(valid, counts_c[a_cl], 0)  # [nchain, K]
+    bases_cs = jnp.where(valid, bases_r[a_cl], bases_r[0])
+    lastrow_cs = jnp.where(valid, lastrow_r[a_cl], 0)
+
+    # Dense destination offsets: chain base + prior slots' counts; scatter
+    # per-range starts back to range index, then expand to lanes.
+    slot_start = jnp.cumsum(counts_cs, axis=1) - counts_cs  # [nchain, K]
+    cap_chain = K * cap_pr
+    chain_base = jnp.arange(nchain, dtype=jnp.int32)[:, None] * cap_chain
+    range_start = (
+        jnp.zeros((R + 1,), jnp.int32)
+        .at[assigned.reshape(-1)]
+        .set((chain_base + slot_start).reshape(-1))[:R]
+    )
+    within = jnp.cumsum(lane_counts.reshape(R, spr), axis=1) - \
+        lane_counts.reshape(R, spr)
+    within_c = jnp.minimum(within, counts_c[:, None])
+    lane_cnt = jnp.minimum(
+        lane_counts.reshape(R, spr), counts_c[:, None] - within_c
+    ).reshape(-1)
+    lane_off = (range_start[:, None] + within_c).reshape(-1)
+
+    ops = compact_ops_dense(
+        *emits, lane_off, lane_cnt, nchain=nchain, cap_chain=cap_chain,
+        pc=pc,
+    )
+
+    n_tiles = cap_chain // OP_T
     tiles = (
         ops.reshape(nchain, n_tiles, OP_T, 3)
         .transpose(1, 0, 2, 3)
@@ -493,23 +575,22 @@ def _decode_block_jit(comp_lanes, lens, n_rows: int, pc: int, seg: int,
         tiles, ((0, 0), (0, tw - nchain * OP_T * 3))
     ).reshape(n_tiles * tw)
 
-    # Arena: guard row (negative-window clamp target), per-lane comp bytes
-    # packed 4-per-word, then the output region.
+    # Comp prefix: guard row (negative-window clamp target) + per-lane comp
+    # bytes packed 4-per-word; the kernel zero-fills the output region.
     flat = comp_lanes.reshape(-1, 128, 4).astype(jnp.int32)
     comp_words = (flat[:, :, 0] | (flat[:, :, 1] << 8)
                   | (flat[:, :, 2] << 16) | (flat[:, :, 3] << 24))
     comp_rows = lanes * pc // ROW_B
-    arena = jnp.concatenate(
-        [jnp.zeros((1, 128), jnp.int32), comp_words,
-         jnp.zeros((out_rows + 2, 128), jnp.int32)], axis=0
+    comp = jnp.concatenate(
+        [jnp.zeros((1, 128), jnp.int32), comp_words], axis=0
     )
     n_arena_rows = 1 + comp_rows + out_rows + 2
-    chain_rows = spc * seg // ROW_B
-    return execute_chained(
-        ops_flat, counts, arena, nchain=nchain, cap_pc=cap_pc,
-        out_base_row=1 + comp_rows, chain_rows=chain_rows,
-        n_arena_rows=n_arena_rows,
+    out = execute_scheduled(
+        ops_flat, counts_cs.reshape(-1), bases_cs.reshape(-1),
+        lastrow_cs.reshape(-1), comp, nchain=nchain, K=K,
+        cap_chain=cap_chain, n_arena_rows=n_arena_rows,
     )
+    return out, counts
 
 
 def chain_geometry(nseg: int, seg: int, rng: int = RANGE):
@@ -524,19 +605,49 @@ def chain_geometry(nseg: int, seg: int, rng: int = RANGE):
     return spc, nchain
 
 
-def decode_block_chained(seg_bytes_list, out_total: int, seg: int,
-                         rng: int = RANGE):
-    """Decode one block whose parse hints guarantee match sources stay
-    within `rng`-byte ranges of their destination (hints v2).  Chains take
-    contiguous whole ranges, so cross-range references never race.
+def _hard_cap(spr: int, seg: int) -> int:
+    """Worst-case ops per range for VALID encoder output: every record
+    emits >= 2 output bytes (the repeat probe's 2-byte gate is the
+    encoder's shortest match), so ops per segment <= seg/2 + 2."""
+    return -(-(spr * (seg // 2 + 2)) // OP_T) * OP_T
+
+
+# Op-slot budget for the compaction stitch output (two [R*cap_pr/128, 128]
+# VMEM arrays): 1M slots = 8.4 MB, comfortably inside 16 MB VMEM alongside
+# the window blocks.
+_STITCH_BUDGET = 1 << 20
+
+
+def _range_cap(R: int, spr: int, seg: int) -> int:
+    """Static per-range op capacity: the worst case when the stitch budget
+    affords it, else scaled down (overflowing ranges are detected from the
+    returned counts and their blocks redone solo at the worst-case cap)."""
+    cap = min(_hard_cap(spr, seg), max(OP_T, _STITCH_BUDGET // max(R, 1)))
+    return -(-cap // OP_T) * OP_T
+
+
+def plan_batch(blocks_segs, seg: int, rng: int = RANGE,
+               cap_pr: int | None = None):
+    """Host-side planning for a batched decode: pack all blocks' segment
+    streams into lockstep lanes and lay out per-range output geometry.
+
+    Returns (arrays, statics): arrays = (comp_lanes [lanes, pc] uint8,
+    lens [sub, 128] int32, bases [R] int32, lastrow [R] int32) ready to
+    ship to the device; statics = kwargs for ``_decode_batch_jit`` plus
+    ``out0`` (first output arena row) and ``nrng_b`` (ranges per block).
     """
-    nseg = len(seg_bytes_list)
+    if rng % seg:
+        raise ValueError("range must be a multiple of the segment size")
     if seg > 8192:
         raise ValueError(f"segment size {seg} exceeds op packing (14 bits)")
-    spc, nchain = chain_geometry(nseg, seg, rng)
-    lanes = 128 * -(-(nchain * spc) // 128)
+    spr = rng // seg
+    nchain = MAXC
+    nrng_b = [-(-len(s) // spr) for s in blocks_segs]
+    R = sum(nrng_b)
+    K = -(-R // nchain)
+    lanes = 128 * -(-(R * spr) // 128)
 
-    pc_data = max(len(sb) for sb in seg_bytes_list)
+    pc_data = max(len(sb) for segs in blocks_segs for sb in segs)
     n_rows = -(-(pc_data + 1) // 512) * 512
     pc = n_rows + ROW_B  # window-load margin; keeps pc % 512 == 0
     if pc > (1 << 14):
@@ -548,22 +659,97 @@ def decode_block_chained(seg_bytes_list, out_total: int, seg: int,
 
     lens = np.zeros((lanes // 128, 128), np.int32)
     comp_lanes = np.zeros((lanes, pc), np.uint8)
-    for i, sb in enumerate(seg_bytes_list):
-        a = np.frombuffer(bytes(sb), np.uint8)
-        comp_lanes[i, : len(a)] = a
-        lens[i // 128, i % 128] = len(a)
+    lane_base = 0
+    for segs in blocks_segs:
+        for i, sb in enumerate(segs):
+            a = np.frombuffer(bytes(sb), np.uint8)
+            comp_lanes[lane_base + i, : len(a)] = a
+            lens[(lane_base + i) // 128, (lane_base + i) % 128] = len(a)
+        lane_base += -(-len(segs) // spr) * spr
 
-    # Ops per chain bound: a copy needs >= 2 compressed bytes and literal
-    # runs are fused, so records <= comp_bytes/2 + 2 per segment.
-    cap_pc = spc * (seg // 2 + 2)
-    cap_pc = -(-cap_pc // OP_T) * OP_T
+    if cap_pr is None:
+        cap_pr = _range_cap(R, spr, seg)
 
-    out_rows = nchain * spc * seg // ROW_B
-    arena = _decode_block_jit(
-        jnp.asarray(comp_lanes), jnp.asarray(lens), n_rows=n_rows, pc=pc,
-        seg=seg, spc=spc, nchain=nchain, cap_pc=cap_pc, out_rows=out_rows,
-    )
+    # Per-range output geometry: block outputs are concatenated in block
+    # order after the comp region; each range owns [j*rng, min((j+1)*rng,
+    # block_bytes)) of its block.
     comp_rows = lanes * pc // ROW_B
-    out_np = np.asarray(arena[1 + comp_rows : 1 + comp_rows + out_rows])
+    out0 = 1 + comp_rows
+    bases = np.zeros(R, np.int32)
+    lastrow = np.zeros(R, np.int32)
+    ri = 0
+    row_base = out0
+    for b, segs in enumerate(blocks_segs):
+        blk_bytes = len(segs) * seg
+        for j in range(nrng_b[b]):
+            bases[ri] = row_base * ROW_B + j * rng
+            hi = min((j + 1) * rng, blk_bytes)
+            lastrow[ri] = row_base + hi // ROW_B - 1
+            ri += 1
+        row_base += blk_bytes // ROW_B
+    out_rows = row_base - out0
+
+    arrays = (comp_lanes, lens, bases, lastrow)
+    statics = dict(n_rows=n_rows, pc=pc, spr=spr, R=R, K=K, nchain=nchain,
+                   cap_pr=cap_pr, out_rows=out_rows)
+    return arrays, statics, out0, nrng_b
+
+
+def decode_blocks_chained(blocks_segs, out_totals, seg: int,
+                          rng: int = RANGE, cap_pr: int | None = None):
+    """Decode a BATCH of blocks whose parse hints guarantee match sources
+    stay within `rng`-byte ranges of their destination (hints v2).  All
+    blocks' ranges go into one scheduling pool, so chains stay full and
+    balanced regardless of block sizes.  Returns a list of bytes objects,
+    one per block.
+    """
+    (comp_lanes, lens, bases, lastrow), statics, out0, nrng_b = plan_batch(
+        blocks_segs, seg, rng, cap_pr
+    )
+    spr = statics["spr"]
+    cap_pr = statics["cap_pr"]
+    out_rows = statics["out_rows"]
+
+    arena, counts = _decode_batch_jit(
+        jnp.asarray(comp_lanes), jnp.asarray(lens), jnp.asarray(bases),
+        jnp.asarray(lastrow), **statics,
+    )
+    counts_np = np.asarray(counts)
+    out_np = np.asarray(arena[out0 : out0 + out_rows])
     out_bytes = out_np.view(np.uint32).view(np.uint8).reshape(-1)
-    return out_bytes[:out_total].tobytes()
+
+    results = []
+    pos = 0
+    ri = 0
+    for b, segs in enumerate(blocks_segs):
+        blk_bytes = len(segs) * seg
+        full_cap = _hard_cap(spr, seg)
+        if (
+            np.any(counts_np[ri : ri + nrng_b[b]] > cap_pr)
+            and cap_pr < full_cap
+        ):
+            # Op cap overflow (pathological short-op density): redo this
+            # block alone at the worst-case capacity, which always fits —
+            # counts can only exceed it on hostile input, where the
+            # compaction clamp yields wrong bytes (stream CRC catches)
+            # but never out-of-bounds access or unbounded recursion.
+            results.append(
+                decode_blocks_chained(
+                    [segs], [out_totals[b]], seg, rng, cap_pr=full_cap
+                )[0]
+            )
+        else:
+            results.append(
+                out_bytes[pos : pos + blk_bytes][: out_totals[b]].tobytes()
+            )
+        pos += blk_bytes
+        ri += nrng_b[b]
+    return results
+
+
+def decode_block_chained(seg_bytes_list, out_total: int, seg: int,
+                         rng: int = RANGE):
+    """Decode one block (batch-of-one wrapper over the scheduled path)."""
+    return decode_blocks_chained(
+        [seg_bytes_list], [out_total], seg, rng
+    )[0]

@@ -53,7 +53,7 @@ def _interpret() -> bool:
 # Phase 1: parse
 # --------------------------------------------------------------------------
 
-def _make_parse_kernel(sub: int):
+def _make_parse_kernel(sub: int, row_tile: int):
     def _parse_kernel(lens_ref, comp_ref, kind_ref, dst_ref, clen_ref,
                       csrc_ref, lsrc_ref, llen_ref, state_ref):
         t = pl.program_id(0)
@@ -68,7 +68,7 @@ def _make_parse_kernel(sub: int):
         lens = lens_ref[0]
 
         def body(r, st):
-            row = t * ROW_TILE + r
+            row = t * row_tile + r
             word = comp_ref[r >> 2]
             byte = (word >> ((row & 3) * 8)) & 255
             active = row < lens
@@ -84,11 +84,18 @@ def _make_parse_kernel(sub: int):
             llen_ref[r] = opll
             return st
 
-        st = jax.lax.fori_loop(0, ROW_TILE, body, st)
+        st = jax.lax.fori_loop(0, row_tile, body, st)
         for i, f in enumerate(STATE_FIELDS):
             state_ref[i] = st[f]
 
     return _parse_kernel
+
+
+def parse_row_tile(sub: int) -> int:
+    """Row tile sized so the 6 streamed output blocks (double-buffered)
+    stay within VMEM as the lane count grows: 512 rows at sub<=2, shrinking
+    inversely with sub."""
+    return max(128, ROW_TILE // max(sub // 2, 1))
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))
@@ -99,19 +106,20 @@ def parse_segments_pallas(comp_words, lens, n_rows: int):
     gets its flush row.  Returns 6 op arrays [n_rows, sub, 128]
     (kind, dst, clen, csrc, lsrc, llen)."""
     sub = lens.shape[0]
-    grid = (n_rows // ROW_TILE,)
+    row_tile = parse_row_tile(sub)
+    grid = (n_rows // row_tile,)
     out_shape = jax.ShapeDtypeStruct((n_rows, sub, 128), jnp.int32)
     kernel = pl.pallas_call(
-        _make_parse_kernel(sub),
+        _make_parse_kernel(sub, row_tile),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, sub, 128), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_TILE // 4, sub, 128), lambda t: (t, 0, 0),
+            pl.BlockSpec((row_tile // 4, sub, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ROW_TILE, sub, 128), lambda t: (t, 0, 0),
+            pl.BlockSpec((row_tile, sub, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM)
         ] * 6,
         out_shape=[out_shape] * 6,

@@ -87,6 +87,7 @@ class SearchStats:
     table_pop_max: float = 0.0
     table_pop_sum: float = 0.0
     matches: int = 0
+    reads_issued: int = 0  # sidecar: coalesced ReadAt batches issued
     windows: list = field(default_factory=list)  # list[WindowStat]
 
     def _win(self, pos: int, wbytes: bytes) -> WindowStat:

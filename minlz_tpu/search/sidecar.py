@@ -136,19 +136,59 @@ class SidecarSearcher:
         self._pattern = bytes(pattern)
         self.stats = SearchStats()
 
-    def _fetch_block(self, offset: int) -> bytes:
+    # Coalescing policy for main-stream fetches: bridge gaps up to _GAP
+    # wasted bytes with one read; flush the decision queue at _MAX_BATCH.
+    _GAP = 64 << 10
+    _MAX_BATCH = 32
+
+    def _fetch_one(self, offset: int):
+        """(chunk_type, payload incl. CRC) of the chunk at ``offset``."""
         self._main.seek(offset)
         hdr = self._main.read(4)
         ctype = hdr[0]
         clen = int.from_bytes(hdr[1:4], "little")
-        payload = self._main.read(clen)
-        if ctype == CHUNK_TYPE_UNCOMPRESSED_DATA:
-            return payload[4:]
-        return blockapi.decode(b"\x00" + payload[4:])
+        return ctype, self._main.read(clen)
+
+    def _fetch_coalesced(self, entries):
+        """Fetch many chunks with few reads: one read per run of entries
+        whose inter-chunk gaps are <= _GAP (reference decodeBatch's single
+        ReadAt over the whole batch span, sidecar_search.go:728-788).
+        Returns {offset: (chunk_type, payload)}; entries whose chunk ran
+        past the conservative size estimate fall back to a solo read."""
+        out = {}
+        runs = []
+        for e in entries:
+            # Upper bound on the chunk's on-wire size: header + CRC +
+            # uvarint + data that never beats stored representation.
+            est = e["dlen"] + (e["dlen"] >> 5) + 96
+            if runs and e["boff"] - runs[-1][1] <= self._GAP:
+                runs[-1][1] = max(runs[-1][1], e["boff"] + est)
+                runs[-1][2].append(e)
+            else:
+                runs.append([e["boff"], e["boff"] + est, [e]])
+        for start, end, es in runs:
+            self._main.seek(start)
+            buf = self._main.read(end - start)
+            self.stats.reads_issued += 1
+            for e in es:
+                off = e["boff"] - start
+                if off + 4 > len(buf):
+                    continue  # solo fallback
+                clen = int.from_bytes(buf[off + 1 : off + 4], "little")
+                if off + 4 + clen <= len(buf):
+                    out[e["boff"]] = (
+                        buf[off],
+                        buf[off + 4 : off + 4 + clen],
+                    )
+        return out
 
     def search(self, callback=None):
-        # Reuse BlockSearcher's decision machinery with a shim that walks
-        # the sidecar and pulls remote blocks lazily.
+        """Walk the sidecar, deciding per block from its tables; fetch and
+        decode main-stream blocks lazily.  Boundary-only blocks are
+        DEFERRED until the next block's table resolves whether a straddle
+        is possible (reference resolveSideDeferred,
+        sidecar_search.go:645-686), and must-decode blocks are fetched in
+        coalesced batches."""
         results = []
         searcher = BlockSearcher(io.BytesIO(b""), self._pattern)
         pos = 0
@@ -156,16 +196,95 @@ class SidecarSearcher:
         pending_table = None
         uoff = 0
         max_block = 1 << 23
-        tail = b""
-        force_next = False
-        while pos + 4 <= len(raw):
+        tail = [b""]
+        force = [False]
+        stop = [False]
+        queue = []  # finalized decisions awaiting a batched flush
+        deferred = None  # boundary block awaiting the next table
+
+        def search_block(e, data):
+            hay = tail[0] + data
+            base = e["uoff"] - len(tail[0])
+            start = 0
+            while True:
+                j = hay.find(self._pattern, start)
+                if j < 0:
+                    break
+                r = SearchResult(offset=base + j, block_start=e["boff"])
+                results.append(r)
+                self.stats.matches += 1
+                if callback is not None and callback(r) is False:
+                    stop[0] = True
+                    return
+                start = j + 1
+            keep = len(self._pattern) - 1
+            tail[0] = hay[len(hay) - keep :] if keep else b""
+            force[0] = any(
+                tail[0].endswith(self._pattern[:k])
+                for k in range(1, min(keep, len(self._pattern) - 1) + 1)
+            )
+
+        def flush():
+            fetched = self._fetch_coalesced(
+                [e for e in queue if e["decision"] == "decode"]
+            )
+            for e in queue:
+                # A decoded tail ending in a pattern prefix forces the
+                # next block regardless of its table verdict.
+                if e["decision"] != "decode" and not force[0]:
+                    self.stats.blocks_skipped += 1
+                    tail[0] = b""
+                    force[0] = False
+                    continue
+                item = fetched.get(e["boff"])
+                if item is None:
+                    item = self._fetch_one(e["boff"])
+                ctype, payload = item
+                if ctype == CHUNK_TYPE_UNCOMPRESSED_DATA:
+                    data = payload[4:]
+                else:
+                    data = blockapi.decode(b"\x00" + payload[4:])
+                self.stats.blocks_decoded += 1
+                search_block(e, data)
+                if stop[0]:
+                    return
+            queue.clear()
+
+        def resolve_deferred(next_table):
+            nonlocal deferred
+            if deferred is None:
+                return
+            e, dtab = deferred
+            deferred = None
+            if next_table is not None and not searcher._straddle_possible(
+                dtab, next_table
+            ):
+                e["decision"] = "skip"
+                self.stats.blocks_deferred_skipped += 1
+            else:
+                e["decision"] = "decode"
+            queue.append(e)
+
+        while pos + 4 <= len(raw) and not stop[0]:
             ctype = raw[pos]
             clen = int.from_bytes(raw[pos + 1 : pos + 4], "little")
             payload = raw[pos + 4 : pos + 4 + clen]
             pos += 4 + clen
             if ctype == CHUNK_TYPE_STREAM_ID:
+                # Matches never straddle concatenated streams: a deferred
+                # block had only boundary-straddle starts left, so it is
+                # safe to skip unread.
+                if deferred is not None:
+                    deferred[0]["decision"] = "skip"
+                    self.stats.blocks_deferred_skipped += 1
+                    queue.append(deferred[0])
+                    deferred = None
                 if len(payload) >= 6 and payload[:5] == MAGIC_CHUNK[4:9]:
                     max_block = 1 << ((payload[5] & 0x0F) + 10)
+                flush()
+                tail[0] = b""
+                force[0] = False
+                uoff = 0
             elif ctype == CHUNK_TYPE_SEARCH_TABLE:
                 pending_table = parse_table_chunk(payload)
                 self.stats.tables_seen += 1
@@ -184,42 +303,34 @@ class SidecarSearcher:
                 self.stats.blocks_total += 1
                 table_info = pending_table
                 pending_table = None
+                resolve_deferred(table_info)
+                e = {"boff": boff, "dlen": dlen, "uoff": uoff}
+                # The remote ref encodes maxBlock - actualSize, so the
+                # uncompressed offset stays exact across skips.
+                uoff += dlen
                 if table_info is None:
-                    maybe = True
+                    e["decision"] = "decode"
                     self.stats.blocks_no_table += 1
+                    queue.append(e)
                 else:
-                    # The sidecar walker does not defer: boundary-only
-                    # blocks are fetched (correct, just less lazy).
-                    maybe = searcher._decide(table_info) != "skip"
-                if force_next:
-                    maybe = True
-                if not maybe:
-                    self.stats.blocks_skipped += 1
-                    tail = b""
-                    # The remote ref encodes maxBlock - actualSize, so the
-                    # uncompressed offset stays exact across skips.
-                    uoff += dlen
-                    continue
-                data = self._fetch_block(boff)
-                self.stats.blocks_decoded += 1
-                hay = tail + data
-                base = uoff - len(tail)
-                start = 0
-                while True:
-                    j = hay.find(self._pattern, start)
-                    if j < 0:
-                        break
-                    r = SearchResult(offset=base + j, block_start=boff)
-                    results.append(r)
-                    self.stats.matches += 1
-                    if callback is not None and callback(r) is False:
-                        return results
-                    start = j + 1
-                keep = len(self._pattern) - 1
-                tail = hay[len(hay) - keep :] if keep else b""
-                force_next = any(
-                    tail.endswith(self._pattern[:k])
-                    for k in range(1, min(keep, len(self._pattern) - 1) + 1)
-                )
-                uoff += len(data)
+                    verdict = searcher._decide(table_info)
+                    if verdict == "boundary":
+                        # Hold: the NEXT block's table decides whether a
+                        # straddle into it is possible at any split.
+                        self.stats.blocks_deferred += 1
+                        deferred = (e, table_info)
+                    else:
+                        e["decision"] = (
+                            "decode" if verdict == "decode" else "skip"
+                        )
+                        queue.append(e)
+                if len(queue) >= self._MAX_BATCH and deferred is None:
+                    flush()
+        if deferred is not None:
+            # End of sidecar: no next table to prove the straddle
+            # impossible — decode conservatively (reference finalize).
+            deferred[0]["decision"] = "decode"
+            queue.append(deferred[0])
+        if not stop[0]:
+            flush()
         return results

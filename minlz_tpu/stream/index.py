@@ -50,29 +50,70 @@ class Index:
     def allocate(self, n: int) -> None:
         pass  # python lists grow dynamically
 
+    def _gate(self) -> int:
+        """Normalized entry-spacing gate: the block-size estimate doubled
+        until it reaches MIN_INDEX_DIST (reference index.go:55-62); sticky,
+        like the reference's init-time normalization."""
+        est = self.est_block_uncomp
+        if est <= 0:
+            return MIN_INDEX_DIST
+        while est < MIN_INDEX_DIST:
+            est *= 2
+        self.est_block_uncomp = est
+        return est
+
     def add(self, compressed_offset: int, uncompressed_offset: int) -> None:
-        """Record a block start.  Entries must be strictly increasing; closer
-        than MIN_INDEX_DIST entries are skipped (reference index.go:80-112)."""
+        """Record a block start.  Entries must be strictly increasing;
+        entries closer than the current block estimate are skipped
+        (reference index.go:80-103)."""
+        est = self._gate()
         if self.info:
             latest_c, latest_u = self.info[-1]
             if latest_u == uncompressed_offset:
                 # Update with the latest (equal uncompressed offset).
                 self.info[-1] = (compressed_offset, uncompressed_offset)
                 return
-            if latest_u > uncompressed_offset - MIN_INDEX_DIST:
+            if uncompressed_offset - latest_u < est:
                 return
             if latest_c >= compressed_offset or latest_u >= uncompressed_offset:
                 raise ValueError("index offsets must be monotonic")
         self.info.append((compressed_offset, uncompressed_offset))
-        self._reduce()
+        if len(self.info) > MAX_INDEX_ENTRIES:
+            self._reduce_light()
+
+    def _reduce_light(self) -> None:
+        """Memory-bound reduction while building: double the block estimate
+        and re-decimate to that spacing (reference index.go:172-185,
+        including its keep-the-entry-after-the-first-far-one stride)."""
+        self.est_block_uncomp *= 2
+        est = self.est_block_uncomp
+        src = self.info
+        out = []
+        idx = 0
+        while idx < len(src):
+            base = src[idx]
+            out.append(base)
+            while idx < len(src) and src[idx][1] - base[1] < est:
+                idx += 1
+            idx += 1  # the reference outer loop's increment
+        self.info = out
 
     def _reduce(self) -> None:
-        """Keep entry count under the wire-format limit by power-of-2
-        decimation (reference index.go:147-185)."""
+        """Marshal-time reduction to the wire-format entry limit: drop
+        removeN of every removeN+1 entries, growing removeN while the
+        implied block estimate stays under MIN_INDEX_DIST and more than
+        1000 entries would remain (reference index.go:147-170)."""
         if len(self.info) < MAX_INDEX_ENTRIES:
             return
-        keep = self.info[::2]
-        self.info = keep
+        remove_n = (len(self.info) + 1) // MAX_INDEX_ENTRIES
+        est = self.est_block_uncomp or MIN_INDEX_DIST
+        while (
+            est * (remove_n + 1) < MIN_INDEX_DIST
+            and len(self.info) // (remove_n + 1) > 1000
+        ):
+            remove_n += 1
+        self.info = self.info[:: remove_n + 1]
+        self.est_block_uncomp = est + est * remove_n
 
     # --- Lookup -------------------------------------------------------------
 
@@ -102,6 +143,7 @@ class Index:
 
     def marshal(self) -> bytes:
         """Serialize as a 0x40 skippable chunk."""
+        self._reduce()
         est = self.est_block_uncomp or self._estimate_block_size()
         has_uoff = self._needs_uncompressed_offsets(est)
         return self._marshal(est, has_uoff)

@@ -174,7 +174,9 @@ class Reader:
             dst.write(data)
             total += len(data)
             self._decoded_pos = len(self._decoded)
-        if concurrency <= 1 or self._device_codec is not None:
+        if self._device_codec is not None:
+            return total + self._decode_concurrent_device(dst)
+        if concurrency <= 1:
             while self._next_block():
                 dst.write(self._decoded)
                 total += len(self._decoded)
@@ -231,6 +233,133 @@ class Reader:
                     self._handle_control_chunk(ctype, clen)
             while pending:
                 drain_one()
+        self._decoded = b""
+        self._decoded_pos = 0
+        return total
+
+    def _decode_concurrent_device(self, dst, max_batch: int = 8) -> int:
+        """Batched device drain: collect consecutive hinted data chunks and
+        decode them in ONE scheduled-executor dispatch per batch (reference
+        DecodeConcurrent's goroutine fan-out, reader.go:575-668, realized
+        as multi-block kernel batching).  Any device failure falls back to
+        host decode for the affected batch — an optimization, never a
+        semantics change."""
+        from ..minlz import CHUNK_TYPE_PARSE_HINT
+        from ..oracle.decode import parse_header
+
+        total = 0
+        batch = []  # (ctype, payload, body, pos, want, hints)
+
+        def write_block(data, ctype, payload):
+            nonlocal total
+            if ctype == CHUNK_TYPE_MINLZ_COMPRESSED and not self._ignore_crc:
+                if crc(data) != int.from_bytes(payload[:4], "little"):
+                    raise CorruptError("decoded data CRC mismatch")
+            self._block_start = self._uncompressed_seen
+            self._uncompressed_seen += len(data)
+            dst.write(data)
+            total += len(data)
+
+        def flush():
+            if not batch:
+                return
+            items = [(b[2][b[3] - 1 :], b[5], b[4]) for b in batch]
+            try:
+                outs = self._device_codec.decode_batch(items)
+            except Exception as exc:  # noqa: BLE001
+                if not isinstance(exc, CorruptError):
+                    import warnings
+
+                    warnings.warn(
+                        "batched device decode failed "
+                        f"({type(exc).__name__}: {exc}); "
+                        "falling back to host decode",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                outs = [
+                    blockapi.decode(b"\x00" + b[2]) for b in batch
+                ]
+            for (ctype, payload, _, _, _, _), data in zip(batch, outs):
+                write_block(data, ctype, payload)
+            batch.clear()
+
+        while True:
+            hdr = self._read_exact(4, allow_eof=True)
+            if hdr is None:
+                flush()
+                if (
+                    self._seen_data
+                    and not self._seen_eof_chunk
+                    and not self._ignore_missing_eof
+                ):
+                    raise CorruptError("stream truncated: missing EOF chunk")
+                break
+            ctype = hdr[0]
+            clen = int.from_bytes(hdr[1:4], "little")
+            if not self._read_header and ctype != CHUNK_TYPE_STREAM_ID:
+                raise CorruptError("stream must start with stream identifier")
+            if ctype == CHUNK_TYPE_PARSE_HINT:
+                # Hints precede their data chunk; keep the batch open.
+                self._pending_hints = self._read_exact(clen)
+                continue
+            hints = self._pending_hints
+            batchable = False
+            if ctype in (
+                CHUNK_TYPE_MINLZ_COMPRESSED,
+                CHUNK_TYPE_MINLZ_COMPRESSED_CRC,
+            ) and hints is not None:
+                payload = self._read_exact(clen)
+                self._pending_hints = None
+                self._seen_data = True
+                if len(payload) < 4:
+                    raise CorruptError("data chunk shorter than its checksum")
+                body = payload[4:]
+                if (
+                    ctype == CHUNK_TYPE_MINLZ_COMPRESSED_CRC
+                    and not self._ignore_crc
+                    and crc(body) != int.from_bytes(payload[:4], "little")
+                ):
+                    raise CorruptError("compressed data CRC mismatch")
+                if self._block_decoded_len(body) > self._max_block_size:
+                    raise CorruptError("block exceeds maximum block size")
+                lit_only, want, pos = parse_header(b"\x00" + body)
+                if not lit_only and want > 0:
+                    batch.append((ctype, payload, body, pos, want, hints))
+                    batchable = True
+                    if len(batch) >= max_batch:
+                        flush()
+                else:
+                    flush()
+                    write_block(blockapi.decode(b"\x00" + body), ctype,
+                                payload)
+            if batchable:
+                continue
+            if (
+                (
+                    ctype
+                    in (
+                        CHUNK_TYPE_MINLZ_COMPRESSED,
+                        CHUNK_TYPE_MINLZ_COMPRESSED_CRC,
+                    )
+                    and hints is None
+                )
+                or ctype == CHUNK_TYPE_UNCOMPRESSED_DATA
+                or (ctype == CHUNK_TYPE_LEGACY_COMPRESSED and self._fallback)
+            ):
+                flush()
+                payload = self._read_exact(clen)
+                self._seen_data = True
+                self._decode_data_chunk(ctype, payload)
+                dst.write(self._decoded)
+                total += len(self._decoded)
+                self._decoded_pos = len(self._decoded)
+            elif ctype not in (
+                CHUNK_TYPE_MINLZ_COMPRESSED,
+                CHUNK_TYPE_MINLZ_COMPRESSED_CRC,
+            ):
+                flush()
+                self._handle_control_chunk(ctype, clen)
         self._decoded = b""
         self._decoded_pos = 0
         return total

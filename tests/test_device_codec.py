@@ -48,6 +48,38 @@ def test_device_roundtrip_mixed(twain):
     assert decode_block_tpu(segs, len(data)) == data
 
 
+def test_device_levels_monotone(twain):
+    """Device levels trade speed for ratio (reference encode_l0..l3
+    analogs): every level round-trips through the oracle, and ratio
+    improves monotonically from -1 through 3 (small slack — greedy parses
+    with richer candidate sets are not strictly dominant per block)."""
+    data = (twain * 10)[: 96 << 10]
+    sizes = {}
+    for level in (-1, 1, 2, 3):
+        block, hints = encode_block_device(data, 4096, 0, level)
+        assert odec.decode_block(block) == data, level
+        sizes[level] = len(block)
+    assert sizes[-1] > sizes[2]  # fast level clearly trades ratio away
+    for lo, hi in ((-1, 1), (1, 2), (2, 3)):
+        assert sizes[hi] <= sizes[lo] * 1.005, sizes
+
+
+def test_device_batch_decode_api(twain):
+    """DeviceCodec.decode_batch: multiple hinted blocks in one call."""
+    from minlz_tpu.ops.device_codec import DeviceCodec
+
+    dc = DeviceCodec()
+    blocks = [(twain * 10)[: 48 << 10], (twain * 7)[7:][: 32 << 10]]
+    items = []
+    for b in blocks:
+        block, hints = dc.encode(b)
+        _, want, pos = odec.parse_header(block)
+        items.append((block[pos:], hints, len(b)))
+    outs = dc.decode_batch(items)
+    for got, want_b in zip(outs, blocks):
+        assert got == want_b
+
+
 def test_device_stream_roundtrip(twain):
     data = twain * 20
     buf = io.BytesIO()

@@ -37,24 +37,27 @@ def run_ops(op_list):
         ops[0, k, 1] = csrc
         ops[0, k, 2] = ls
     counts = np.array([len(op_list)], np.int32)
+    bases = np.array([(1 + COMP_ROWS) * ROW], np.int32)
+    lastrows = np.array([COMP_ROWS + OUT_ROWS], np.int32)
     ops_flat = np.zeros(ec.tile_words(1), np.int32)
     ops_flat[: cap_pc * 3] = ops.reshape(cap_pc * 3)
-    arena = np.zeros((N_ARENA, 128), np.int32)
+    comp = np.zeros((1 + COMP_ROWS, 128), np.int32)
     cw = COMP.reshape(-1, 128, 4).astype(np.int32)
-    arena[1 : 1 + COMP_ROWS] = (
+    comp[1:] = (
         cw[:, :, 0]
         | (cw[:, :, 1] << 8)
         | (cw[:, :, 2] << 16)
         | (cw[:, :, 3] << 24)
     )
-    out = ec.execute_chained(
+    out = ec.execute_scheduled(
         jnp.asarray(ops_flat),
         jnp.asarray(counts),
-        jnp.asarray(arena),
+        jnp.asarray(bases),
+        jnp.asarray(lastrows),
+        jnp.asarray(comp),
         nchain=1,
-        cap_pc=cap_pc,
-        out_base_row=1 + COMP_ROWS,
-        chain_rows=OUT_ROWS,
+        K=1,
+        cap_chain=cap_pc,
         n_arena_rows=N_ARENA,
     )
     ob = np.asarray(out[1 + COMP_ROWS :]).view(np.uint32).view(np.uint8)
@@ -131,6 +134,50 @@ def test_differential_roundtrip_multi_chain():
     spc, nchain = ec.chain_geometry(40, 4096)
     assert nchain >= 2
     _roundtrip(nkb)
+
+
+def _encode_segs(data, seg, rng):
+    from minlz_tpu.oracle import decode as odec
+    from minlz_tpu.ops.device_codec import split_body
+    from minlz_tpu.ops.encode_kernel import encode_block_device
+
+    block, hints = encode_block_device(data, seg, rng)
+    assert odec.decode_block(block) == data
+    _, _, pos = odec.parse_header(block)
+    return split_body(block[pos:], [h[0] for h in hints])
+
+
+def test_batched_multi_block_decode():
+    """Several blocks of mixed sizes through one scheduled dispatch: the
+    serpentine range schedule must keep per-block outputs bit-exact."""
+    twain = open("testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()
+    rng_np = np.random.default_rng(3)
+    seg, rng = 4096, ec.RANGE
+    blocks = [
+        (twain * 40)[: 160 << 10],                      # text, 40 segs
+        rng_np.integers(0, 16, 96 << 10, dtype=np.uint8).tobytes(),
+        (twain * 40)[13:][: 64 << 10],                  # different phase
+        bytes(48 << 10),                                # RLE zeros
+    ]
+    segs = [_encode_segs(b, seg, rng) for b in blocks]
+    got = ec.decode_blocks_chained(
+        segs, [len(b) for b in blocks], seg, rng
+    )
+    for g, b in zip(got, blocks):
+        assert g == b
+
+
+def test_batched_cap_overflow_fallback():
+    """A tiny cap_pr forces the overflow path: the block must be redone
+    solo at the worst-case capacity and still decode bit-exact."""
+    twain = open("testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()
+    seg, rng = 4096, ec.RANGE
+    data = (twain * 40)[: 64 << 10]
+    segs = _encode_segs(data, seg, rng)
+    got = ec.decode_blocks_chained(
+        [segs], [len(data)], seg, rng, cap_pr=ec.OP_T
+    )
+    assert got[0] == data
 
 
 def test_seg8192_whole_literal_record():

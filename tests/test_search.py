@@ -225,6 +225,66 @@ def test_sidecar_build_and_search(twain):
     assert s.stats.blocks_skipped >= 1
 
 
+class _CountingIO(io.BytesIO):
+    """BytesIO recording the number of read() calls (ReadAt batches)."""
+
+    def __init__(self, data):
+        super().__init__(data)
+        self.reads = 0
+
+    def read(self, n=-1):
+        self.reads += 1
+        return super().read(n)
+
+
+def test_sidecar_deferred_and_coalesced(twain):
+    """Straddle-heavy stream: boundary-only blocks are deferred (not
+    fetched unless the next table allows a straddle), must-decode blocks
+    are fetched with coalesced reads, and results match BlockSearcher
+    (reference resolveSideDeferred + decodeBatch,
+    sidecar_search.go:645-788)."""
+    import numpy as np
+
+    from minlz_tpu.search.searcher import BlockSearcher
+    from minlz_tpu.search.sidecar import SidecarSearcher, build_sidecar
+
+    rng = np.random.default_rng(5)
+    needle = b"XSTRADDLEX"
+    blocks = []
+    for i in range(12):
+        b = rng.integers(0, 256, 8 << 10, dtype=np.uint8).tobytes()
+        if i in (3, 7):
+            # Plant the needle's PREFIX at a block end: the block becomes
+            # boundary-only (contained match ruled out, straddle start
+            # present), exercising deferral.
+            b = b[: -(len(needle) - 4)] + needle[: len(needle) - 4]
+        if i == 5:
+            b = b[:2000] + needle + b[2000 + len(needle):]
+        blocks.append(b)
+    data = b"".join(blocks)
+    buf = io.BytesIO()
+    with Writer(buf, block_size=8 << 10, add_index=False) as w:
+        w.write(data)
+    main = buf.getvalue()
+    side = build_sidecar(io.BytesIO(main), SearchTableConfig(match_len=6))
+
+    counting = _CountingIO(main)
+    s = SidecarSearcher(side, counting, needle)
+    res = s.search()
+    want = [m for m in range(len(data)) if data.startswith(needle, m)]
+    assert [r.offset for r in res] == want
+    assert s.stats.blocks_deferred >= 1
+    assert s.stats.blocks_skipped >= 1
+    # Coalescing: each read() serves a batch; decoded blocks must exceed
+    # the number of reads issued when several cluster together, and the
+    # BlockSearcher over the full stream finds the same matches.
+    assert s.stats.reads_issued <= s.stats.blocks_decoded
+    full = BlockSearcher(
+        io.BytesIO(_stream(data, SearchTableConfig(match_len=6))), needle
+    )
+    assert [r.offset for r in full.search()] == want
+
+
 def test_sidecar_extract(twain):
     from minlz_tpu.search.sidecar import extract_sidecar
     from minlz_tpu.minlz import CHUNK_TYPE_REMOTE_BLOCK_REF
