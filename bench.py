@@ -204,13 +204,17 @@ def main():
     # of blocks per dispatch: transducer parse -> per-range op compaction ->
     # serpentine range schedule -> 16-chain lockstep execution, one jit over
     # device-resident inputs.
-    dec_batch = min(int(os.environ.get("MINLZ_DEC_BATCH", "4")), n_blocks)
+    planar = os.environ.get("MINLZ_DEC_PLANAR", "") == "1"
+    dec_batch = min(
+        int(os.environ.get("MINLZ_DEC_BATCH", "1" if planar else "4")),
+        n_blocks,
+    )
     batch_segs = [
         split_body(body, [h[0] for h in hints])
         for body, hints in zip(blocks_enc[:dec_batch], all_hints[:dec_batch])
     ]
     (comp_lanes, lens, bases, lastrow), statics, out0, _ = ec.plan_batch(
-        batch_segs, seg, ec.RANGE
+        batch_segs, seg, ec.RANGE, planar=planar
     )
     comp_d = jnp.asarray(comp_lanes)  # uint8, shipped once
     lens_d = jnp.asarray(lens)
@@ -228,7 +232,10 @@ def main():
     # Decode correctness for every block in the timed batch.
     out_rows = statics["out_rows"]
     out_np = np.ascontiguousarray(np.asarray(out_dev[out0 : out0 + out_rows]))
-    out_bytes = out_np.view(np.uint32).view(np.uint8).reshape(-1)
+    if planar:
+        out_bytes = out_np.astype(np.uint8).reshape(-1)
+    else:
+        out_bytes = out_np.view(np.uint32).view(np.uint8).reshape(-1)
     for bi in range(dec_batch):
         got = out_bytes[bi * block_size : (bi + 1) * block_size].tobytes()
         ok = ok and got == blocks[bi]

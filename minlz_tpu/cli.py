@@ -67,6 +67,21 @@ def _read_input(path: str) -> bytes:
         return f.read()
 
 
+def _open_input(path: str):
+    """Seekable file-like over a path or URL.  URLs get the ranged HTTP
+    reader (reference cmd/internal/shttp) so seek-driven commands
+    (-offset/-tail) fetch only the ranges they touch; servers without
+    Range support fall back to a whole-object download."""
+    if path.startswith(("http://", "https://")):
+        from .utils.shttp import HTTPReaderAt, RangeUnsupportedError
+
+        try:
+            return HTTPReaderAt(path)
+        except RangeUnsupportedError:
+            return io.BytesIO(_read_input(path))
+    return open(path, "rb")
+
+
 def cmd_compress(args) -> int:
     level = (
         minlz.LEVEL_SUPER_FAST
@@ -233,19 +248,28 @@ def cmd_decompress(args, to_stdout=False) -> int:
     if getattr(args, "follow", False):
         return _follow(files[0], args)
     for path in files:
-        raw = _read_input(path)
         if getattr(args, "block_debug", False):
-            cmd_block_debug(path, raw)
+            cmd_block_debug(path, _read_input(path))
             continue
         t0 = time.time()
-        if path.endswith(".mzb") or (raw[:1] == b"\x00" and not raw.startswith(minlz.MAGIC_CHUNK)):
+        src = _open_input(path)
+        head = src.read(16)
+        src.seek(0)
+        raw_len = None
+        if path.endswith(".mzb") or (
+            head[:1] == b"\x00" and not head.startswith(minlz.MAGIC_CHUNK)
+        ):
+            raw = src.read()
+            raw_len = len(raw)
             data = blockapi.decode(raw)
         else:
             off, off_nl = _parse_off_nl(args.offset)
             tail, tail_nl = _parse_off_nl(args.tail)
             if off or args.tail is not None:
-                bio = io.BytesIO(raw)
-                rs = ReadSeeker(bio)
+                # Seek path: the index walk + block fetches touch only the
+                # ranges they need — on a ranged-HTTP source this never
+                # downloads the whole object (reference shttp).
+                rs = ReadSeeker(src)
                 if args.tail is not None:
                     start = max(rs._index.total_uncompressed - tail, 0)
                 else:
@@ -259,19 +283,27 @@ def cmd_decompress(args, to_stdout=False) -> int:
                     if j >= 0:
                         data = data[j + 1 :]
             elif getattr(args, "cpu", 0) > 1:
+                from .utils.readahead import ReadaheadReader
+
                 out = io.BytesIO()
-                Reader(io.BytesIO(raw)).decode_concurrent(
-                    out, concurrency=args.cpu
-                )
+                with ReadaheadReader(src) as ra:
+                    Reader(ra).decode_concurrent(out, concurrency=args.cpu)
                 data = out.getvalue()
                 if args.limit:
                     data = data[: args.limit]
             else:
-                data = Reader(
-                    io.BytesIO(raw), device=getattr(args, "device", False)
-                ).readall()
+                from .utils.readahead import ReadaheadReader
+
+                with ReadaheadReader(src) as ra:
+                    data = Reader(
+                        ra, device=getattr(args, "device", False)
+                    ).readall()
                 if args.limit:
                     data = data[: args.limit]
+        if raw_len is None:
+            raw_len = src.tell() if hasattr(src, "tell") else 0
+        if hasattr(src, "close"):
+            src.close()
         dt = time.time() - t0
         if to_stdout:
             sys.stdout.buffer.write(data)
@@ -283,7 +315,7 @@ def cmd_decompress(args, to_stdout=False) -> int:
         with open(opath, "wb") as f:
             f.write(data)
         print(
-            f"{path}: {len(raw)} -> {len(data)} bytes"
+            f"{path}: {raw_len} -> {len(data)} bytes"
             f" ({len(data) / max(dt, 1e-9) / 1e6:.0f} MB/s)",
             file=sys.stderr,
         )
@@ -292,11 +324,14 @@ def cmd_decompress(args, to_stdout=False) -> int:
 
 def cmd_tail(args) -> int:
     path = args.files[0]
-    with open(path, "rb") as f:
-        rs = ReadSeeker(f)
+    src = _open_input(path)
+    try:
+        rs = ReadSeeker(src)
         start = max(rs._index.total_uncompressed - args.n, 0)
         rs.seek(start)
         sys.stdout.buffer.write(rs.read(-1))
+    finally:
+        src.close()
     return 0
 
 
@@ -376,6 +411,37 @@ def cmd_stats(args) -> int:
                 blog = max(clen - 4, 1).bit_length() - 1
                 key = f"2^{blog}"
                 hist[key] = hist.get(key, 0) + 1
+                if getattr(args, "verify", False):
+                    # Per-chunk CRC verification (reference mz stats
+                    # -verify modes, cmd/mz/stats.go): decode every data
+                    # chunk and check its checksum, reporting offsets of
+                    # corrupt chunks instead of stopping at the first.
+                    from .minlz import crc as _crc
+
+                    v = stats.setdefault(
+                        "verify", {"ok": 0, "bad": 0, "bad_offsets": []}
+                    )
+                    payload = raw[pos + 4 : pos + 4 + clen]
+                    try:
+                        want = int.from_bytes(payload[:4], "little")
+                        body = payload[4:]
+                        if ctype == 0x01:
+                            good = _crc(body) == want
+                        elif ctype == 0x03:
+                            good = _crc(body) == want
+                            blockapi.decode(b"\x00" + body)  # must parse
+                        else:
+                            good = _crc(
+                                blockapi.decode(b"\x00" + body)
+                            ) == want
+                    except Exception:  # noqa: BLE001 - corrupt == bad
+                        good = False
+                    if good:
+                        v["ok"] += 1
+                    else:
+                        v["bad"] += 1
+                        if len(v["bad_offsets"]) < 16:
+                            v["bad_offsets"].append(pos)
                 if ctype == 0x01:
                     stats["uncompressed"] += clen - 4
                 else:
@@ -413,11 +479,22 @@ def cmd_stats(args) -> int:
                 "uncompressed": stats["uncompressed"],
                 "ratio": stats.get("ratio", ""),
             }
+            if "verify" in stats:
+                flat["crc_ok"] = stats["verify"]["ok"]
+                flat["crc_bad"] = stats["verify"]["bad"]
             if path == _expand(args.files)[0]:
                 print(",".join(flat))
             print(",".join(str(v) for v in flat.values()))
+            # Per-chunk-type matrix rows (reference mz stats CSV matrices,
+            # cmd/mz/stats.go): file,chunk,<type>,count,bytes.
+            for name, ent in sorted(stats["chunks"].items()):
+                print(
+                    f"{path},chunk,{name},{ent['count']},{ent['bytes']}"
+                )
         else:
             print(json.dumps(stats, indent=2))
+        if stats.get("verify", {}).get("bad"):
+            return 1
     return 0
 
 
@@ -663,6 +740,9 @@ def main(argv=None) -> int:
     ps.add_argument("-blocks", action="store_true",
                     help="per-op histograms (decodes block headers)")
     ps.add_argument("-csv", action="store_true")
+    ps.add_argument("-verify", action="store_true",
+                    help="decode + CRC-check every data chunk; exit 1 "
+                         "and report offsets when any chunk is corrupt")
     ps.add_argument("files", nargs="+")
     ps.set_defaults(fn=cmd_stats)
 

@@ -349,8 +349,9 @@ def emit_segments(data, surv, off, vlen, n, seg: int):
     return out.astype(jnp.uint8), out_lens
 
 
-@functools.partial(jax.jit, static_argnames=("seg", "rng", "ctx"))
-def encode_block_emit(data_flat, n, seg: int, rng: int = 0, ctx: int = 0):
+@functools.partial(jax.jit, static_argnames=("seg", "rng", "level", "ctx"))
+def encode_block_emit(data_flat, n, seg: int, rng: int = 0, level: int = 2,
+                      ctx: int = 0):
     """Full device encode: match find -> greedy parse -> verify ->
     emit.  data_flat: [1, N] int32; returns (out [nseg, seg+OUT_PAD] uint8,
     out_lens [nseg]).  Correct by construction (byte-exact verification);
@@ -364,7 +365,7 @@ def encode_block_emit(data_flat, n, seg: int, rng: int = 0, ctx: int = 0):
     from . import encode_kernel as ek
 
     N = data_flat.shape[1]
-    dist, length = ek.find_matches_dyn(data_flat, n, seg, rng)
+    dist, length = ek.find_matches_dyn(data_flat, n, seg, rng, level)
     nseg = N // seg
     take, tok_off, tok_len, _ = ek.greedy_parse(
         dist.reshape(nseg, seg), length.reshape(nseg, seg), seg

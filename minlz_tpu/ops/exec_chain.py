@@ -48,6 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROW_B = 512          # bytes per arena row (128 lanes x 4 packed bytes)
+PROW_B = 128         # bytes per arena row in PLANAR mode (1 byte per lane)
 MAXC = 16            # chains (static unroll)
 OP_T = 256           # ops per chain per grid step (SMEM tile)
 # Encoder match-source clamp granularity (hints v2).  64 KiB gives a 1 MiB
@@ -55,6 +56,11 @@ OP_T = 256           # ops per chain per grid step (SMEM tile)
 # per-op rate of 8); the ratio cost vs 128 KiB is ~0.1 points because the
 # match finder's exact level already stays within 32 KiB windows.
 RANGE = 64 * 1024
+# Auto-select the planar (byte-per-lane) arena up to this much decoded
+# output per dispatch: its ~14 MB VMEM (arena + comp input) fits a 1 MiB
+# block on 16 MB-VMEM parts and buys ~no-realign windows.
+PLANAR_MAX_OUT = 1 << 20
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -106,10 +112,11 @@ def _stitch_kernel(meta_ref, a_ref, b_ref, outa_ref, outb_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nchain", "cap_chain", "pc")
+    jax.jit, static_argnames=("nchain", "cap_chain", "pc", "guard")
 )
 def compact_ops_dense(kind, dst, clen, csrc, lsrc, llen, lane_off, lane_cnt,
-                      nchain: int, cap_chain: int, pc: int):
+                      nchain: int, cap_chain: int, pc: int,
+                      guard: int = ROW_B):
     """Pack per-row op records into DENSE per-chain op lists.
 
     kind..llen: [P, sub, 128] int32 transducer emissions (see
@@ -193,12 +200,12 @@ def compact_ops_dense(kind, dst, clen, csrc, lsrc, llen, lane_off, lane_cnt,
         .reshape(nchain, cap_chain)
     )
     lane_u = jax.lax.cummax(lane_map, axis=1)
-    # Unpack to executor words.  +ROW_B on C: the arena carries one guard
+    # Unpack to executor words.  +guard on C: the arena carries one guard
     # row before the compressed lanes so window() never sees a negative
-    # byte address (literal reads are window(ls - q), q up to ROW_B-1).
+    # byte address (literal reads are window(ls - q), q up to a row).
     a = p1
     b = p2 & 0x1FFFF
-    c = ((p2 >> 17) & 0x3FFF) + lane_u * pc + ROW_B
+    c = ((p2 >> 17) & 0x3FFF) + lane_u * pc + guard
     return jnp.stack([a, b, c], axis=2)
 
 
@@ -207,7 +214,7 @@ def compact_ops_dense(kind, dst, clen, csrc, lsrc, llen, lane_off, lane_cnt,
 # --------------------------------------------------------------------------
 
 def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
-                       n_arena_rows: int):
+                       n_arena_rows: int, planar: bool = False):
     """Build the scheduled chained executor.
 
     Each chain walks K *slots* (ranges) laid out DENSELY in its op stream:
@@ -233,9 +240,18 @@ def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
     Sub-slot stores read-modify-write the arena row directly
     (write-through keeps rows current) and each sub-slot's vector work
     runs under ``pl.when`` — a vacuous slot costs only scalar bookkeeping.
+
+    ``planar``: the arena holds ONE byte per int32 lane (128-byte rows)
+    instead of four packed bytes (512-byte rows).  Costs 4x the VMEM but
+    removes the byte-realign half of every window — no neighbour-word
+    gather pair and no variable shifts — and turns the store masks into
+    plain lane compares.  The op stream and all byte addresses are
+    identical; only row geometry changes.
     """
     F = 8  # scalar state fields per chain (SMEM stride = live scalars)
     F_S = 8  # live loop-carried scalars per chain
+    row_b = PROW_B if planar else ROW_B
+    row_shift = 7 if planar else 9
 
     def kernel(counts_ref, bases_ref, lastrow_ref, ops_ref, comp_ref,
                arena_ref, st_ref):
@@ -261,6 +277,19 @@ def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
                 st_ref[ch * F + 5] = 1  # eff
                 st_ref[ch * F + 6] = 0  # lsrc_pos
                 st_ref[ch * F + 7] = bases_ref[ch * K]  # out cursor
+
+        def window_planar(byte_start):
+            """(8,128) lanes = arena bytes [byte_start, +128) (planar)."""
+            row = jnp.clip(byte_start >> 7, 0, n_arena_rows - 2)
+            m = byte_start - row * 128
+            r0 = jnp.broadcast_to(arena_ref[pl.ds(row, 1), :], (8, 128))
+            r1 = jnp.broadcast_to(arena_ref[pl.ds(row + 1, 1), :], (8, 128))
+            idx = iota + m
+            return jnp.where(
+                idx < 128,
+                jnp.take_along_axis(r0, idx & 127, axis=1),
+                jnp.take_along_axis(r1, idx & 127, axis=1),
+            )
 
         def window(byte_start):
             """(8,128) packed words = arena bytes [byte_start, +512)."""
@@ -327,8 +356,12 @@ def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
             act = None
             for ch in range(nchain):
                 s, gidx = state[ch * F_S], state[ch * F_S + 1]
+                end = state[ch * F_S + 2]
                 lr, cr = state[ch * F_S + 3], state[ch * F_S + 4]
-                a = ((s < K) & (gidx < lim)) | (lr > 0) | (cr > 0)
+                if K == 1:
+                    a = ((gidx < end) & (gidx < lim)) | (lr > 0) | (cr > 0)
+                else:
+                    a = ((s < K) & (gidx < lim)) | (lr > 0) | (cr > 0)
                 act = a if act is None else (act | a)
             return act
 
@@ -345,18 +378,25 @@ def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
                 cur = state[ch * F_S + 7]
 
                 need = (lr == 0) & (cr == 0)
-                # Slot advance: dense layout means the next slot starts
-                # exactly at gidx; only the output cursor and end move
-                # (ranges are independent, so no other state carries over).
-                adv = need & (s < K) & (gidx >= end)
-                s = s + adv.astype(jnp.int32)
-                si = ch * K + jnp.minimum(s, K - 1)
-                cur = jnp.where(adv, bases_ref[si], cur)
-                end = jnp.where(adv, gidx + counts_ref[si], end)
-                # Stores clamp into the current slot's span: keeps idle
-                # iterations and hostile op streams from touching other
-                # ranges' rows or escaping the arena.
-                last_row = lastrow_ref[si]
+                if K == 1:
+                    # Single-slot chains: no advance machinery, and the
+                    # SMEM meta reads are static-indexed (cheap scalar
+                    # path — the loop is scalar-unit-bound).
+                    last_row = lastrow_ref[ch]
+                else:
+                    # Slot advance: dense layout means the next slot
+                    # starts exactly at gidx; only the output cursor and
+                    # end move (ranges are independent, so no other state
+                    # carries over).
+                    adv = need & (s < K) & (gidx >= end)
+                    s = s + adv.astype(jnp.int32)
+                    si = ch * K + jnp.minimum(s, K - 1)
+                    cur = jnp.where(adv, bases_ref[si], cur)
+                    end = jnp.where(adv, gidx + counts_ref[si], end)
+                    # Stores clamp into the current slot's span: keeps
+                    # idle iterations and hostile op streams from touching
+                    # other ranges' rows or escaping the arena.
+                    last_row = lastrow_ref[si]
 
                 can = need & (s < K) & (gidx < end) & (gidx < lim)
                 idx = jnp.clip(gidx - t * OP_T, 0, OP_T - 1)
@@ -372,9 +412,9 @@ def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
 
                 # literal sub-slot (vector work gated: pure-copy records
                 # and idle chains pay only the scalar bookkeeping)
-                q = cur & (ROW_B - 1)
-                ta = jnp.minimum(lr, ROW_B - q)
-                row_a = jnp.minimum(cur >> 9, last_row)
+                q = cur & (row_b - 1)
+                ta = jnp.minimum(lr, row_b - q)
+                row_a = jnp.minimum(cur >> row_shift, last_row)
 
                 @pl.when(ta > 0)
                 def _lit(q=q, ta=ta, ls=ls, row_a=row_a):
@@ -383,11 +423,18 @@ def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
                     cur_row = jnp.broadcast_to(
                         arena_ref[pl.ds(row_a, 1), :], (8, 128)
                     )
-                    win = window(ls - q)
-                    m = bmask(q, q + ta)
-                    arena_ref[pl.ds(row_a, 1), :] = (
-                        (win & m) | (cur_row & ~m)
-                    )[0:1]
+                    if planar:
+                        win = window_planar(ls - q)
+                        sel = (iota >= q) & (iota < q + ta)
+                        arena_ref[pl.ds(row_a, 1), :] = jnp.where(
+                            sel, win, cur_row
+                        )[0:1]
+                    else:
+                        win = window(ls - q)
+                        m = bmask(q, q + ta)
+                        arena_ref[pl.ds(row_a, 1), :] = (
+                            (win & m) | (cur_row & ~m)
+                        )[0:1]
 
                 cur = cur + ta
                 ls = ls + ta
@@ -396,21 +443,28 @@ def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
                 # copy sub-slot (eff-doubling handles RLE overlap); gated
                 # on lr == 0 so a row-crossing literal run finishes before
                 # its op's copy starts.
-                q2 = cur & (ROW_B - 1)
-                tb = jnp.minimum(jnp.minimum(cr, eff), ROW_B - q2)
+                q2 = cur & (row_b - 1)
+                tb = jnp.minimum(jnp.minimum(cr, eff), row_b - q2)
                 tb = jnp.where(lr == 0, tb, 0)
-                row_b = jnp.minimum(cur >> 9, last_row)
+                rowb = jnp.minimum(cur >> row_shift, last_row)
 
                 @pl.when(tb > 0)
-                def _cpy(q2=q2, tb=tb, cur=cur, eff=eff, row_b=row_b):
+                def _cpy(q2=q2, tb=tb, cur=cur, eff=eff, rowb=rowb):
                     cur_row = jnp.broadcast_to(
-                        arena_ref[pl.ds(row_b, 1), :], (8, 128)
+                        arena_ref[pl.ds(rowb, 1), :], (8, 128)
                     )
-                    win2 = window(cur - eff - q2)
-                    m2 = bmask(q2, q2 + tb)
-                    arena_ref[pl.ds(row_b, 1), :] = (
-                        (win2 & m2) | (cur_row & ~m2)
-                    )[0:1]
+                    if planar:
+                        win2 = window_planar(cur - eff - q2)
+                        sel2 = (iota >= q2) & (iota < q2 + tb)
+                        arena_ref[pl.ds(rowb, 1), :] = jnp.where(
+                            sel2, win2, cur_row
+                        )[0:1]
+                    else:
+                        win2 = window(cur - eff - q2)
+                        m2 = bmask(q2, q2 + tb)
+                        arena_ref[pl.ds(rowb, 1), :] = (
+                            (win2 & m2) | (cur_row & ~m2)
+                        )[0:1]
 
                 cur = cur + tb
                 cr = cr - tb
@@ -439,10 +493,11 @@ def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nchain", "K", "cap_chain", "n_arena_rows"),
+    static_argnames=("nchain", "K", "cap_chain", "n_arena_rows", "planar"),
 )
 def execute_scheduled(ops_flat, counts, bases, lastrows, comp, nchain: int,
-                      K: int, cap_chain: int, n_arena_rows: int):
+                      K: int, cap_chain: int, n_arena_rows: int,
+                      planar: bool = False):
     """Run the scheduled chained executor.  ops_flat:
     [n_tiles * tile_words(nchain)] tile-major op words (flat 1D with each
     tile zero-padded to a 1024-word multiple: Mosaic tiles 1D memrefs by
@@ -455,7 +510,7 @@ def execute_scheduled(ops_flat, counts, bases, lastrows, comp, nchain: int,
     grid = (cap_chain // OP_T,)
     tile_w = tile_words(nchain)
     kernel = pl.pallas_call(
-        _make_sched_kernel(nchain, K, cap_chain, n_arena_rows),
+        _make_sched_kernel(nchain, K, cap_chain, n_arena_rows, planar),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -484,11 +539,11 @@ def execute_scheduled(ops_flat, counts, bases, lastrows, comp, nchain: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows", "pc", "spr", "R", "K", "nchain", "cap_pr",
-                     "out_rows"),
+                     "out_rows", "planar"),
 )
 def _decode_batch_jit(comp_lanes, lens, bases_r, lastrow_r, n_rows: int,
                       pc: int, spr: int, R: int, K: int, nchain: int,
-                      cap_pr: int, out_rows: int):
+                      cap_pr: int, out_rows: int, planar: bool = False):
     """Fused multi-block decode.  comp_lanes: [lanes, pc] uint8 per-segment
     token streams (zero padded, all blocks' segments stacked); lens:
     [sub, 128] int32; bases_r/lastrow_r: [R] int32 per-range output cursor
@@ -561,7 +616,7 @@ def _decode_batch_jit(comp_lanes, lens, bases_r, lastrow_r, n_rows: int,
 
     ops = compact_ops_dense(
         *emits, lane_off, lane_cnt, nchain=nchain, cap_chain=cap_chain,
-        pc=pc,
+        pc=pc, guard=PROW_B if planar else ROW_B,
     )
 
     n_tiles = cap_chain // OP_T
@@ -576,19 +631,24 @@ def _decode_batch_jit(comp_lanes, lens, bases_r, lastrow_r, n_rows: int,
     ).reshape(n_tiles * tw)
 
     # Comp prefix: guard row (negative-window clamp target) + per-lane comp
-    # bytes packed 4-per-word; the kernel zero-fills the output region.
-    flat = comp_lanes.reshape(-1, 128, 4).astype(jnp.int32)
-    comp_words = (flat[:, :, 0] | (flat[:, :, 1] << 8)
-                  | (flat[:, :, 2] << 16) | (flat[:, :, 3] << 24))
-    comp_rows = lanes * pc // ROW_B
+    # bytes — packed 4-per-word, or 1-per-lane in planar mode; the kernel
+    # zero-fills the output region.
+    if planar:
+        comp_body = comp_lanes.astype(jnp.int32).reshape(-1, 128)
+        comp_rows = lanes * pc // PROW_B
+    else:
+        flat = comp_lanes.reshape(-1, 128, 4).astype(jnp.int32)
+        comp_body = (flat[:, :, 0] | (flat[:, :, 1] << 8)
+                     | (flat[:, :, 2] << 16) | (flat[:, :, 3] << 24))
+        comp_rows = lanes * pc // ROW_B
     comp = jnp.concatenate(
-        [jnp.zeros((1, 128), jnp.int32), comp_words], axis=0
+        [jnp.zeros((1, 128), jnp.int32), comp_body], axis=0
     )
     n_arena_rows = 1 + comp_rows + out_rows + 2
     out = execute_scheduled(
         ops_flat, counts_cs.reshape(-1), bases_cs.reshape(-1),
         lastrow_cs.reshape(-1), comp, nchain=nchain, K=K,
-        cap_chain=cap_chain, n_arena_rows=n_arena_rows,
+        cap_chain=cap_chain, n_arena_rows=n_arena_rows, planar=planar,
     )
     return out, counts
 
@@ -627,7 +687,7 @@ def _range_cap(R: int, spr: int, seg: int) -> int:
 
 
 def plan_batch(blocks_segs, seg: int, rng: int = RANGE,
-               cap_pr: int | None = None):
+               cap_pr: int | None = None, planar: bool = False):
     """Host-side planning for a batched decode: pack all blocks' segment
     streams into lockstep lanes and lay out per-range output geometry.
 
@@ -673,7 +733,8 @@ def plan_batch(blocks_segs, seg: int, rng: int = RANGE,
     # Per-range output geometry: block outputs are concatenated in block
     # order after the comp region; each range owns [j*rng, min((j+1)*rng,
     # block_bytes)) of its block.
-    comp_rows = lanes * pc // ROW_B
+    row_b = PROW_B if planar else ROW_B
+    comp_rows = lanes * pc // row_b
     out0 = 1 + comp_rows
     bases = np.zeros(R, np.int32)
     lastrow = np.zeros(R, np.int32)
@@ -682,29 +743,37 @@ def plan_batch(blocks_segs, seg: int, rng: int = RANGE,
     for b, segs in enumerate(blocks_segs):
         blk_bytes = len(segs) * seg
         for j in range(nrng_b[b]):
-            bases[ri] = row_base * ROW_B + j * rng
+            bases[ri] = row_base * row_b + j * rng
             hi = min((j + 1) * rng, blk_bytes)
-            lastrow[ri] = row_base + hi // ROW_B - 1
+            lastrow[ri] = row_base + hi // row_b - 1
             ri += 1
-        row_base += blk_bytes // ROW_B
+        row_base += blk_bytes // row_b
     out_rows = row_base - out0
 
     arrays = (comp_lanes, lens, bases, lastrow)
     statics = dict(n_rows=n_rows, pc=pc, spr=spr, R=R, K=K, nchain=nchain,
-                   cap_pr=cap_pr, out_rows=out_rows)
+                   cap_pr=cap_pr, out_rows=out_rows, planar=planar)
     return arrays, statics, out0, nrng_b
 
 
 def decode_blocks_chained(blocks_segs, out_totals, seg: int,
-                          rng: int = RANGE, cap_pr: int | None = None):
+                          rng: int = RANGE, cap_pr: int | None = None,
+                          planar: bool | None = None):
     """Decode a BATCH of blocks whose parse hints guarantee match sources
     stay within `rng`-byte ranges of their destination (hints v2).  All
     blocks' ranges go into one scheduling pool, so chains stay full and
     balanced regardless of block sizes.  Returns a list of bytes objects,
     one per block.
+
+    ``planar`` (None = auto): byte-per-lane arena — cheaper per op (no
+    byte realign) but 4x the VMEM, so it is only auto-selected when the
+    workload fits (~1 MiB of output on 16 MB-VMEM parts).
     """
+    if planar is None:
+        total_out = sum(len(s) * seg for s in blocks_segs)
+        planar = total_out <= PLANAR_MAX_OUT
     (comp_lanes, lens, bases, lastrow), statics, out0, nrng_b = plan_batch(
-        blocks_segs, seg, rng, cap_pr
+        blocks_segs, seg, rng, cap_pr, planar
     )
     spr = statics["spr"]
     cap_pr = statics["cap_pr"]
@@ -716,7 +785,10 @@ def decode_blocks_chained(blocks_segs, out_totals, seg: int,
     )
     counts_np = np.asarray(counts)
     out_np = np.asarray(arena[out0 : out0 + out_rows])
-    out_bytes = out_np.view(np.uint32).view(np.uint8).reshape(-1)
+    if planar:
+        out_bytes = out_np.astype(np.uint8).reshape(-1)
+    else:
+        out_bytes = out_np.view(np.uint32).view(np.uint8).reshape(-1)
 
     results = []
     pos = 0

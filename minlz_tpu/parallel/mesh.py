@@ -69,7 +69,8 @@ def sharded_decode_parse(mesh: Mesh, comp_mat, comp_lens):
 
 
 def sharded_encode_blocks(mesh: Mesh, data_blocks, n_valid, seg: int = 4096,
-                          rng: int = 0):
+                          rng: int = 0, level: int = 2,
+                          collectives: bool = True):
     """End-to-end data-parallel block encode over a mesh: REAL bytes out.
 
     data_blocks: [n_blocks, N] int32 byte array (N window-padded), sharded
@@ -79,7 +80,9 @@ def sharded_encode_blocks(mesh: Mesh, data_blocks, n_valid, seg: int = 4096,
     emission (ops/emit.py), all on device.  Per-block compressed sizes are
     all-gathered over ICI and exclusive-scanned into deterministic stream
     offsets — the reference's ordered channel-of-channels (writer.go:214-272)
-    replaced by a collective prefix sum.
+    replaced by a collective prefix sum.  ``collectives=False`` skips the
+    exchange (offsets come back zero) so harnesses can measure the
+    collective phase's cost in isolation.
 
     Returns (seg_bytes [n_blocks, nseg, seg+PAD] uint8,
              seg_lens [n_blocks, nseg] int32,
@@ -94,10 +97,12 @@ def sharded_encode_blocks(mesh: Mesh, data_blocks, n_valid, seg: int = 4096,
 
     def per_device(blocks, valid):
         def one(b, nv):
-            return emit.encode_block_emit(b[None, :], nv, seg, rng)
+            return emit.encode_block_emit(b[None, :], nv, seg, rng, level)
 
         out, lens = jax.vmap(one)(blocks, valid)
         sizes = jnp.sum(lens, axis=1)
+        if not collectives:
+            return out, lens, sizes, jnp.zeros_like(sizes)
         all_sizes = jax.lax.all_gather(sizes, axis).reshape(-1)
         offsets = jnp.cumsum(all_sizes) - all_sizes
         my = jax.lax.axis_index(axis)

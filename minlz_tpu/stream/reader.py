@@ -393,9 +393,11 @@ class Reader:
 
     def set_user_chunk_cb(self, chunk_id: int, cb) -> None:
         """Register a user-chunk callback after construction (reference
-        UserChunkCB, reader.go:1524)."""
-        if not (0x40 <= chunk_id <= 0xFD):
-            raise ValueError("user chunk id must be 0x40..0xfd")
+        UserChunkCB, reader.go:1523-1530: ids 0x80-0xfd only — the
+        0x40-0x7f range holds format-reserved skippable chunks like the
+        seek index, which the reader must keep handling internally)."""
+        if not (0x80 <= chunk_id <= 0xFD):
+            raise ValueError("user chunk id must be 0x80..0xfd")
         self._user_cb[chunk_id] = cb
 
     # --- Chunk machinery ----------------------------------------------------
