@@ -108,6 +108,47 @@ class DeviceCodec:
         # caller; here return the full block plus the hint payload.
         return block, marshal_hints(seg, hints, rng)
 
+    def encode_emit(self, data: bytes, level: int = 2):
+        """FULLY on-device encode: match find -> greedy parse -> byte-exact
+        verify -> token emission all on device (ops/emit.py); the host only
+        frames the header.  Byte-exact by construction, but measured ~25x
+        slower than the fused host serializer on v5e (the XLA scatter
+        emission dominates) at a ~7-point ratio cost — this path exists
+        for host-CPU-free pipelines and the sharded mesh writer
+        (parallel/mesh.py), not single-chip throughput.  Reference
+        emitters: asm_none.go:84-353."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..minlz import put_uvarint
+        from . import encode_kernel as ek
+        from ..ops import emit
+
+        n = len(data)
+        if n == 0:
+            return None
+        seg = self._seg_for(n)
+        rng = self._chain.RANGE
+        N = -(-max(n, 1) // seg) * seg
+        N = -(-N // (2 * ek.WINDOW)) * (2 * ek.WINDOW)
+        flat = np.zeros(N, np.uint8)
+        flat[:n] = np.frombuffer(bytes(data), np.uint8)
+        out, lens = emit.encode_block_emit(
+            jnp.asarray(flat, jnp.int32)[None, :], n, seg, rng, level
+        )
+        lens = np.asarray(lens)
+        out = np.asarray(out)
+        nseg = -(-n // seg)
+        body = b"".join(
+            out[i, : lens[i]].tobytes() for i in range(nseg)
+        )
+        if len(body) >= n:
+            return None
+        offs = np.concatenate([[0], np.cumsum(lens[:nseg])[:-1]])
+        hints = [(int(o), i * seg) for i, o in enumerate(offs)]
+        block = b"\x00" + put_uvarint(n) + body
+        return block, marshal_hints(seg, hints, rng)
+
     def encode_batch(self, blocks, level: int = 2):
         """Encode many blocks with one device dispatch.  Returns a list of
         (block, hint_payload) | None entries, aligned with the input."""

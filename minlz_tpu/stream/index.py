@@ -56,10 +56,10 @@ class Index:
         like the reference's init-time normalization."""
         est = self.est_block_uncomp
         if est <= 0:
-            return MIN_INDEX_DIST
+            est = MIN_INDEX_DIST
         while est < MIN_INDEX_DIST:
             est *= 2
-        self.est_block_uncomp = est
+        self.est_block_uncomp = est  # sticky: reduce_light doubles THIS
         return est
 
     def add(self, compressed_offset: int, uncompressed_offset: int) -> None:

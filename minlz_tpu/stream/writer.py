@@ -70,6 +70,7 @@ class Writer:
         uncompressed: bool = False,
         encoder_backend=None,
         device: bool = False,
+        device_emit: bool = False,
         parse_hints: bool | None = None,
         search_table=None,
         sidecar=None,
@@ -95,6 +96,10 @@ class Writer:
         self._uncompressed_only = uncompressed
         self._backend = encoder_backend
         self._device = device
+        # device_emit: serialize tokens ON DEVICE too (DeviceCodec.
+        # encode_emit) — no host serializer in the loop at a measured
+        # throughput/ratio cost; for host-CPU-free pipelines.
+        self._device_emit = device_emit
         self._parse_hints = device if parse_hints is None else parse_hints
         self._search_cfg = search_table
         self._search_held = None  # raw block deferred for overlap indexing
@@ -421,7 +426,10 @@ class Writer:
                 if comp is not None and comp[:1] == b"\x00":
                     comp = comp[1:]
             if comp is None and self._device_codec is not None:
-                res = self._device_codec.encode(data, self._level)
+                if self._device_emit:
+                    res = self._device_codec.encode_emit(data, self._level)
+                else:
+                    res = self._device_codec.encode(data, self._level)
                 if res is not None:
                     block, hint_payload = res
                     comp = block[1:]  # strip the 0x00 MinLZ marker
@@ -495,9 +503,15 @@ class Writer:
         batch = self._dev_batch
         self._dev_batch = []
         try:
-            results = self._device_codec.encode_batch(
-                [d for d, _ in batch], self._level
-            )
+            if self._device_emit:
+                results = [
+                    self._device_codec.encode_emit(d, self._level)
+                    for d, _ in batch
+                ]
+            else:
+                results = self._device_codec.encode_batch(
+                    [d for d, _ in batch], self._level
+                )
         except Exception as exc:  # device failure → sticky error
             self._latch(exc)
         from ..minlz import CHUNK_TYPE_PARSE_HINT

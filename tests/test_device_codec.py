@@ -62,6 +62,23 @@ def test_device_levels_monotone(twain):
     assert sizes[-1] > sizes[2]  # fast level clearly trades ratio away
     for lo, hi in ((-1, 1), (1, 2), (2, 3)):
         assert sizes[hi] <= sizes[lo] * 1.005, sizes
+    # Absolute watermarks (measured r4): regressions in the device
+    # match finder or serializer must not drift past these.
+    assert sizes[1] <= 9280, sizes
+    assert sizes[3] <= 9260, sizes
+
+
+def test_device_ratio_vs_reference_golden(twain):
+    """Reference-encoder anchor for the device path: the golden block
+    (testdata/*.mzb, produced by the Go reference encoder) compresses
+    Twain to 8875 bytes; the device greedy encoder must stay within 12%
+    of that on the same input (it trades ratio for segment-parallel
+    decode; the host optimal-parse levels beat the golden outright,
+    tests/test_oracle.py::test_ratio_per_level)."""
+    golden = open("testdata/Mark.Twain-Tom.Sawyer.txt.mzb", "rb").read()
+    block, _ = encode_block_device(twain, 4096, 0, 2)
+    assert odec.decode_block(block) == twain
+    assert len(block) <= len(golden) * 1.12, (len(block), len(golden))
 
 
 def test_device_batch_decode_api(twain):
@@ -91,6 +108,22 @@ def test_device_stream_roundtrip(twain):
     assert Reader(io.BytesIO(enc), device=True).readall() == data
     # Plain reader must also decode the same stream (hints are skippable).
     assert Reader(io.BytesIO(enc)).readall() == data
+
+
+def test_device_emit_stream_roundtrip(twain):
+    """Writer(device_emit=True): ALL serialization on device (ops/emit.py)
+    — no host serializer in the loop; the stream must stay spec-valid and
+    device-decodable (hints v2 from the emit path)."""
+    data = (twain * 12)[: 160 << 10]
+    buf = io.BytesIO()
+    with Writer(
+        buf, device=True, device_emit=True, block_size=64 << 10,
+        concurrency=1,
+    ) as w:
+        w.encode_buffer(data)
+    enc = buf.getvalue()
+    assert Reader(io.BytesIO(enc)).readall() == data          # host decode
+    assert Reader(io.BytesIO(enc), device=True).readall() == data
 
 
 def test_device_stream_incompressible():
