@@ -144,8 +144,13 @@ def compact_ops_dense(kind, dst, clen, csrc, lsrc, llen, lane_off, lane_cnt,
     # w1 is already the executor A word (llen | clen << 14, 28 bits); w2
     # packs csrc (17 bits) with a 14-bit lsrc — lsrc < pc and pc tops out
     # at seg + one row of margin, so 14 bits cover seg = 8192 streams.
+    # csrc is clamped to >= 1 HERE (free vector op) so the scalar-bound
+    # executor loop can use it as the eff-doubling seed without a
+    # per-iteration max (csrc == 0 only on literal-only records, whose
+    # copy slot never fires; hostile clen>0/csrc==0 would otherwise
+    # deadlock the doubling).
     w1 = llen | (clen << 14)
-    w2 = csrc | (lsrc << 17)
+    w2 = jnp.maximum(csrc, 1) | (lsrc << 17)
 
     def lane_major(x):
         return x.reshape(P, -1).T[:L]  # [L, P]
@@ -365,7 +370,7 @@ def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
                 act = a if act is None else (act | a)
             return act
 
-        def body(state):
+        def one_pass(state):
             new = list(state)
             for ch in range(nchain):
                 s = state[ch * F_S]
@@ -406,7 +411,7 @@ def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
                 cw = ops_ref[base + 2]
                 lr = jnp.where(can, a & 0x3FFF, lr)
                 cr = jnp.where(can, (a >> 14) & 0x3FFF, cr)
-                eff = jnp.where(can, jnp.maximum(b, 1), eff)
+                eff = jnp.where(can, b, eff)  # compact clamps csrc >= 1
                 ls = jnp.where(can, cw, ls)
                 gidx = gidx + can.astype(jnp.int32)
 
@@ -479,6 +484,12 @@ def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
                 new[ch * F_S + 6] = ls
                 new[ch * F_S + 7] = cur
             return tuple(new)
+
+        def body(state):
+            # 2x unroll: amortizes the cond evaluation and loop-carried
+            # state shuffle over two op passes; an exhausted chain's
+            # second pass is a no-op (can/adv all false).
+            return one_pass(one_pass(state))
 
         state = []
         for ch in range(nchain):
