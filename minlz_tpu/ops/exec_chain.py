@@ -51,11 +51,13 @@ ROW_B = 512          # bytes per arena row (128 lanes x 4 packed bytes)
 PROW_B = 128         # bytes per arena row in PLANAR mode (1 byte per lane)
 MAXC = 16            # chains (static unroll)
 OP_T = 256           # ops per chain per grid step (SMEM tile)
-# Encoder match-source clamp granularity (hints v2).  64 KiB gives a 1 MiB
-# block 16 independent ranges = 16 executor chains (measured ~1.3x the
-# per-op rate of 8); the ratio cost vs 128 KiB is ~0.1 points because the
-# match finder's exact level already stays within 32 KiB windows.
-RANGE = 64 * 1024
+# Encoder match-source clamp granularity (hints v2).  128 KiB costs ~0.2
+# ratio points less than 64 KiB (more reachable matches); a 1 MiB block
+# yields 8 independent ranges, and the batched decode path (4 blocks per
+# dispatch) still fills all 16 executor chains with 32 ranges.  Offsets
+# within a range are <= RANGE-1 = 131071, exactly the compaction word's
+# 17-bit csrc field.
+RANGE = 128 * 1024
 # Auto-select the planar (byte-per-lane) arena up to this much decoded
 # output per dispatch: its ~14 MB VMEM (arena + comp input) fits a 1 MiB
 # block on 16 MB-VMEM parts and buys ~no-realign windows.
