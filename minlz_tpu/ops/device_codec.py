@@ -171,8 +171,11 @@ class DeviceCodec:
             rng
             and rng % seg_size == 0
             and seg_size <= 8192
-            and decoded_len <= (4 << 20)
+            and decoded_len <= (8 << 20)
         )
+
+    # Per-dispatch VMEM ceiling for the chained executor's packed arena.
+    CHAIN_DISPATCH_BYTES = 4 << 20
 
     def decode(self, body: bytes, hint_payload: bytes, decoded_len: int):
         seg_size, offs, rng = parse_hints(hint_payload)
@@ -185,11 +188,29 @@ class DeviceCodec:
 
         # Range-clamped streams (hints v2) take the chained executor: C
         # parallel op chains over range-aligned spans, packed int32 arena
-        # (~2.2x block VMEM) — handles 4MiB blocks on 16MB-VMEM parts.
+        # (~2.2x block VMEM).  Blocks past the per-dispatch VMEM ceiling
+        # split into range-aligned groups — ranges never reference each
+        # other, so a spec-max 8 MiB block decodes as two independent
+        # dispatches instead of falling back to the host.
         if self._chained_ok(seg_size, rng, decoded_len):
-            return self._chain.decode_block_chained(
-                segs, decoded_len, seg_size, rng
-            )
+            if decoded_len <= self.CHAIN_DISPATCH_BYTES:
+                return self._chain.decode_block_chained(
+                    segs, decoded_len, seg_size, rng
+                )
+            spr = rng // seg_size
+            group_segs = (self.CHAIN_DISPATCH_BYTES // rng) * spr
+            out = []
+            done = 0
+            for i in range(0, len(segs), group_segs):
+                part = segs[i : i + group_segs]
+                want = min(len(part) * seg_size, decoded_len - done)
+                out.append(
+                    self._chain.decode_block_chained(
+                        part, want, seg_size, rng
+                    )
+                )
+                done += want
+            return b"".join(out)
         # v1 hints (no range guarantee): sequential-op executor, ~1MiB cap
         # (int32 byte rows cost ~5x the block in VMEM).
         max_out = (1 << 20) if jax.default_backend() == "tpu" else (2 << 20)
@@ -221,11 +242,16 @@ class DeviceCodec:
                 raise CorruptError(
                     f"unsupported hint segment size {seg_size}"
                 )
-            if self._chained_ok(seg_size, rng, dlen):
+            if (
+                self._chained_ok(seg_size, rng, dlen)
+                and dlen <= self.CHAIN_DISPATCH_BYTES
+            ):
                 groups.setdefault((seg_size, rng), []).append(
                     (i, split_body(body, offs), dlen)
                 )
             else:
+                # Over-ceiling blocks go through decode()'s range-aligned
+                # split; non-chained blocks use the v1 executor.
                 out[i] = self.decode(body, hint_payload, dlen)
         for (seg_size, rng), entries in groups.items():
             # Split into dispatches bounded by the VMEM arena budget.

@@ -488,10 +488,10 @@ def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
             return tuple(new)
 
         def body(state):
-            # 2x unroll: amortizes the cond evaluation and loop-carried
-            # state shuffle over two op passes; an exhausted chain's
-            # second pass is a no-op (can/adv all false).
-            return one_pass(one_pass(state))
+            # 4x unroll: amortizes the cond evaluation and loop-carried
+            # state shuffle over four op passes; an exhausted chain's
+            # extra passes are no-ops (can/adv all false).
+            return one_pass(one_pass(one_pass(one_pass(state))))
 
         state = []
         for ch in range(nchain):
