@@ -191,10 +191,15 @@ def find_matches_dyn(data_flat, n, seg: int = SEG, rng: int = 0,
         best_len = jnp.where(better, length, best_len)
 
     # ---- mid/long tiers: strided samples for long-range matches ----------
+    # A tier only adds candidates at distances up to stride * window; when
+    # the range clamp is tighter than the PREVIOUS tier's reach already
+    # covers, the longer tier cannot contribute a single surviving match —
+    # skip its sorts outright (e.g. the stride-64 tier is pure waste under
+    # a 128 KiB clamp, which the stride-8 tier fully covers).
     tiers = []
     if level >= 1:
         tiers.append((8, False))
-    if level >= 2:
+    if level >= 2 and not (rng and rng <= 8 * WINDOW):
         tiers.append((64, True))
     for stride, mixed in tiers:
         M = N // stride
