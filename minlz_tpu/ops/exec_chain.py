@@ -488,10 +488,13 @@ def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
             return tuple(new)
 
         def body(state):
-            # 4x unroll: amortizes the cond evaluation and loop-carried
-            # state shuffle over four op passes; an exhausted chain's
-            # extra passes are no-ops (can/adv all false).
-            return one_pass(one_pass(one_pass(one_pass(state))))
+            # 8x unroll: amortizes the cond evaluation and loop-carried
+            # state shuffle; an exhausted chain's extra passes are no-ops
+            # (can/adv all false).  Measured 2x 36.5 / 4x 35.5 / 8x 35.1
+            # ms/MB — diminishing but monotone.
+            for _ in range(8):
+                state = one_pass(state)
+            return state
 
         state = []
         for ch in range(nchain):
