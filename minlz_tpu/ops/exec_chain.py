@@ -10,10 +10,12 @@ independent op streams — contiguous segment ranges of the SAME block — in
 one branch-free loop, each chain append-only at its own cursor.
 
 Correctness of chain parallelism: the encoder clamps every match source to
-the ``RANGE`` (64 KiB) range of its destination (``find_matches_dyn`` mask +
-the native parse's backward-extension clamp), recorded in parse-hints v2.
+the ``RANGE`` (128 KiB) range of its destination (``find_matches_dyn`` mask
++ the native parse's backward-extension clamp), recorded in parse-hints v2.
 Chains own disjoint byte ranges and never read another chain's in-flight
-output.
+output, so the scheduler may deal ranges to chains in any order — decode
+batches several blocks per dispatch and serpentine-balances all their
+ranges across 16 chains.
 
 Memory layout: one VMEM *arena* of 512-byte rows (128 lanes x int32, 4
 packed bytes per lane) holding [per-lane compressed streams || decoded
