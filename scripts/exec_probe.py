@@ -25,98 +25,59 @@ from bench import timed_device, make_corpus
 INTERP = jax.default_backend() != "tpu"
 
 
-def phase_breakdown():
+def phase_breakdown(n_blocks=4):
+    """Parse vs (compact+schedule+execute) split for the BATCHED decode
+    pipeline (exec_chain._decode_batch_jit) on bench-corpus blocks."""
     from minlz_tpu.ops import encode_kernel as ek
     from minlz_tpu.ops import exec_chain as ec
     from minlz_tpu.ops.device_codec import split_body
     from minlz_tpu.native.codec import get_codec
     from minlz_tpu.ops.pallas_decode import parse_segments_pallas
 
-    corpus = make_corpus(1 << 20)
-    block = corpus
-    block_size = len(block)
+    corpus = make_corpus(n_blocks << 20)
     seg = ek.SEG
     codec = get_codec()
-    flat = jnp.asarray(np.frombuffer(block, np.uint8))[None, :].astype(jnp.int32)
-    dist, _ = ek.find_matches_dyn(flat, block_size, seg, ec.RANGE)
-    dist_np = np.asarray(dist).reshape(-1)
-    body, hints = codec.parse_serialize(block, dist_np, seg, ec.RANGE)
-    segs0 = split_body(body, [h[0] for h in hints])
-    nseg = len(segs0)
-    spc, nchain = ec.chain_geometry(nseg, seg, ec.RANGE)
-    lanes = 128 * -(-(nchain * spc) // 128)
-    pc_data = max(len(sb) for sb in segs0)
-    n_rows = -(-(pc_data + 1) // 512) * 512
-    pc = n_rows + ec.ROW_B
-    lens = np.zeros((lanes // 128, 128), np.int32)
-    comp_lanes = np.zeros((lanes, pc), np.uint8)
-    for i, sb in enumerate(segs0):
-        a = np.frombuffer(sb, np.uint8)
-        comp_lanes[i, : len(a)] = a
-        lens[i // 128, i % 128] = len(a)
-    cap_pc = spc * (seg // 2 + 2)
-    cap_pc = -(-cap_pc // ec.OP_T) * ec.OP_T
-    out_rows = nchain * spc * seg // ec.ROW_B
-    comp_d = jnp.asarray(comp_lanes)
-    lens_d = jnp.asarray(lens)
+    batch_segs = []
+    for bi in range(n_blocks):
+        block = corpus[bi << 20 : (bi + 1) << 20]
+        flat = jnp.asarray(np.frombuffer(block, np.uint8))[None, :].astype(
+            jnp.int32)
+        dist, _ = ek.find_matches_dyn(flat, len(block), seg, ec.RANGE)
+        body, hints = codec.parse_serialize(
+            block, np.asarray(dist).reshape(-1), seg, ec.RANGE)
+        batch_segs.append(split_body(body, [h[0] for h in hints]))
+    (cl, ln, ba, lr), statics, out0, _ = ec.plan_batch(
+        batch_segs, seg, ec.RANGE)
+    args = (jnp.asarray(cl), jnp.asarray(ln), jnp.asarray(ba),
+            jnp.asarray(lr))
+    n_rows = statics["n_rows"]
+    lanes = cl.shape[0]
 
-    # --- phase 1: parse ---------------------------------------------------
     @jax.jit
-    def parse_only(cl, ln):
-        ct = cl[:, :n_rows].T.astype(jnp.int32)
+    def parse_only(cl_, ln_, ba_, lr_):
+        ct = cl_[:, :n_rows].T.astype(jnp.int32)
         ct = ct.reshape(n_rows // 4, 4, lanes // 128, 128)
         words = (ct[:, 0] | (ct[:, 1] << 8) | (ct[:, 2] << 16)
                  | (ct[:, 3] << 24))
-        return parse_segments_pallas(words, ln, n_rows)
-
-    t_parse, emits = timed_device(parse_only, (comp_d, lens_d), 3)
-    emits = jax.tree.map(jnp.asarray, emits)
-
-    # --- phase 2: compaction ---------------------------------------------
-    @jax.jit
-    def compact_only(*e):
-        return ec.compact_ops_chained(
-            *e, spc=spc, cap_pc=cap_pc, pc=pc, nchain=nchain)
-
-    t_comp, (ops, counts) = timed_device(compact_only, tuple(emits), 3)
-
-    cnts = np.asarray(counts)
-    total_ops = int(cnts.sum())
-    print(f"block {block_size} B, nseg {nseg}, nchain {nchain}, spc {spc}")
-    print(f"ops total {total_ops} ({total_ops/ (block_size/2**20):.0f}/MiB, "
-          f"{block_size/max(total_ops,1):.1f} B/op), max chain {cnts.max()}")
-    print(f"parse   {t_parse*1e3:8.2f} ms")
-    print(f"compact {t_comp*1e3:8.2f} ms")
-
-    # --- phase 3: execute -------------------------------------------------
-    n_tiles = cap_pc // ec.OP_T
-    tiles = (ops.reshape(nchain, n_tiles, ec.OP_T, 3)
-             .transpose(1, 0, 2, 3)
-             .reshape(n_tiles, nchain * ec.OP_T * 3))
-    tw = ec.tile_words(nchain)
-    ops_flat = jnp.pad(
-        tiles, ((0, 0), (0, tw - nchain * ec.OP_T * 3))
-    ).reshape(n_tiles * tw)
-    flatl = comp_d.reshape(-1, 128, 4).astype(jnp.int32)
-    comp_words = (flatl[:, :, 0] | (flatl[:, :, 1] << 8)
-                  | (flatl[:, :, 2] << 16) | (flatl[:, :, 3] << 24))
-    comp_rows = lanes * pc // ec.ROW_B
-    arena = jnp.concatenate(
-        [jnp.zeros((1, 128), jnp.int32), comp_words,
-         jnp.zeros((out_rows + 2, 128), jnp.int32)], axis=0)
-    n_arena_rows = 1 + comp_rows + out_rows + 2
-    chain_rows = spc * seg // ec.ROW_B
+        return parse_segments_pallas(words, ln_, n_rows)
 
     @jax.jit
-    def exec_only(of, ct, ar):
-        return ec.execute_chained(
-            of, ct, ar, nchain=nchain, cap_pc=cap_pc,
-            out_base_row=1 + comp_rows, chain_rows=chain_rows,
-            n_arena_rows=n_arena_rows)
+    def full(cl_, ln_, ba_, lr_):
+        return ec._decode_batch_jit(cl_, ln_, ba_, lr_, **statics)[0]
 
-    t_exec, _ = timed_device(exec_only, (ops_flat, counts, arena), 3)
-    print(f"execute {t_exec*1e3:8.2f} ms "
-          f"({t_exec*1e9/max(total_ops,1):.0f} ns/op)")
+    t_parse, _ = timed_device(parse_only, args, 3)
+    t_full, _ = timed_device(full, args, 3)
+    _, counts = ec._decode_batch_jit(*args, **statics)
+    total_ops = int(np.asarray(counts).sum())
+    mb = n_blocks
+    print(f"batch {n_blocks} x 1 MiB, R {statics['R']}, K {statics['K']}, "
+          f"cap_pr {statics['cap_pr']}")
+    print(f"ops total {total_ops} ({total_ops/mb:.0f}/MiB, "
+          f"{(mb << 20)/max(total_ops,1):.1f} B/op)")
+    print(f"parse          {t_parse*1e3:8.2f} ms ({t_parse*1e3/mb:.2f}/MB)")
+    print(f"full pipeline  {t_full*1e3:8.2f} ms ({t_full*1e3/mb:.2f}/MB)")
+    print(f"compact+exec   {(t_full-t_parse)*1e3:8.2f} ms "
+          f"({(t_full-t_parse)*1e9/max(total_ops,1):.0f} ns/op)")
 
 
 # ---------------- roll vs take_along_axis chain loop ----------------------
