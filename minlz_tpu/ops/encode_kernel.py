@@ -489,6 +489,18 @@ def _find_matches_batch(data_u8, ns, seg: int = SEG, rng: int = 0,
     return jax.vmap(one)(data_u8, ns)
 
 
+def _size_class(total: int) -> int:
+    """Sort-geometry size class: the smallest power-of-two row that holds
+    the block, up to the full 2*WINDOW level-0 row (then multiples of it).
+    The reference generates per-size-class encoder variants
+    (/root/reference/asm_amd64.go:12-152, _generate/gen.go:59-89); here
+    the class picks how many rows the batched sorts process — a 16 KiB
+    block sorts 4x less than the 64 KiB worst case."""
+    if total >= 2 * WINDOW:
+        return -(-total // (2 * WINDOW)) * (2 * WINDOW)
+    return 1 << max((total - 1).bit_length(), 12)
+
+
 def encode_blocks_device(blocks, seg: int = SEG, rng: int = 0,
                          level: int = 2):
     """Encode a batch of blocks with ONE device dispatch (the stream
@@ -502,8 +514,7 @@ def encode_blocks_device(blocks, seg: int = SEG, rng: int = 0,
     for incompressible blocks)."""
     if not blocks:
         return []
-    N = max(len(b) for b in blocks)
-    N = max(-(-N // (2 * WINDOW)) * (2 * WINDOW), 2 * WINDOW)
+    N = _size_class(max(len(b) for b in blocks))
     arr = np.zeros((len(blocks), N), np.uint8)
     ns = np.zeros(len(blocks), np.int32)
     for i, b in enumerate(blocks):
@@ -543,9 +554,9 @@ def encode_block_device(data: bytes, seg: int = SEG, rng: int = 0,
     if n == 0:
         return b"\x00", []
     nseg = -(-n // seg)
-    N = nseg * seg
-    # Pad to the short-tier window size (batched sort row length).
-    N = -(-N // (2 * WINDOW)) * (2 * WINDOW)
+    # Size-classed padding: small blocks take the smallest power-of-two
+    # sort row that holds them instead of the full 64 KiB one.
+    N = _size_class(nseg * seg)
     flat = np.zeros(N, np.uint8)
     flat[:n] = np.frombuffer(data, np.uint8)
 
