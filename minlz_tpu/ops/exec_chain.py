@@ -489,12 +489,16 @@ def _make_sched_kernel(nchain: int, K: int, cap_chain: int,
                 new[ch * F_S + 7] = cur
             return tuple(new)
 
+        # Unroll: amortizes the cond evaluation and loop-carried state
+        # shuffle; an exhausted chain's extra passes are no-ops (can/adv
+        # all false), so semantics don't depend on the factor.  Measured
+        # on TPU: 2x 36.5 / 4x 35.5 / 8x 35.1 ms/MB.  Interpret mode
+        # (CPU tests) keeps 2x — the 8x body inflates trace/compile time
+        # across the suite's many geometries for zero benefit there.
+        unroll = 2 if _interpret() else 8
+
         def body(state):
-            # 8x unroll: amortizes the cond evaluation and loop-carried
-            # state shuffle; an exhausted chain's extra passes are no-ops
-            # (can/adv all false).  Measured 2x 36.5 / 4x 35.5 / 8x 35.1
-            # ms/MB — diminishing but monotone.
-            for _ in range(8):
+            for _ in range(unroll):
                 state = one_pass(state)
             return state
 
