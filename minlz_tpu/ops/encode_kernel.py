@@ -105,7 +105,7 @@ def _run_doubling(ext, cap):
 
 
 def find_matches_dyn(data_flat, n, seg: int = SEG, rng: int = 0,
-                     level: int = 2):
+                     level: int = 2, exact: bool = False):
     """data_flat: [1, N] int32 bytes of the whole block (N = padded);
     ``n`` may be a traced scalar (shard_map / vmap use).
 
@@ -168,11 +168,19 @@ def find_matches_dyn(data_flat, n, seg: int = SEG, rng: int = 0,
     # so the shifted pass is worth its ~1.2ms — dropping it costs ~8 ratio
     # points on match-dense data (measured on the bench corpus).  Level -1
     # drops it anyway: speed over ratio is that level's contract.
-    cands = _window_pass(keyflat, [v0i], N, W, 0,
+    # exact=False (default) drops the co-sorted value payload — candidates
+    # match on hash16 alone, cutting short-tier sort bandwidth ~40%
+    # (measured −1.4 ms/MB device encode).  The host serializer
+    # re-verifies every proposal byte-exactly, so correctness is
+    # unaffected and the only risk is hash-collision proposals displacing
+    # real candidates: a clean same-corpus A/B measured ratio 0.6679 vs
+    # 0.6677 — neutral; the per-level Twain watermark tests gate drift.
+    v0s = [v0i] if exact else []
+    cands = _window_pass(keyflat, v0s, N, W, 0,
                          nback=(1 if level < 1 else 2 + deep),
                          pos_bits=pos_bits0)
     if N > W and level >= 1:
-        cands += _window_pass(keyflat, [v0i], N, W, W // 2, nback=1 + deep,
+        cands += _window_pass(keyflat, v0s, N, W, W // 2, nback=1 + deep,
                               pos_bits=pos_bits0)
 
     for cand in cands:
