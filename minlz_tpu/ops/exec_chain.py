@@ -42,6 +42,7 @@ speed class target README.md:405.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +65,9 @@ RANGE = 128 * 1024
 # output per dispatch: its ~14 MB VMEM (arena + comp input) fits a 1 MiB
 # block on 16 MB-VMEM parts and buys ~no-realign windows.
 PLANAR_MAX_OUT = 1 << 20
+# Executor v2 (precomputed records) on by default; MINLZ_EXEC_V1=1 falls
+# back to the r4 state-machine executor for A/B comparison.
+_V2_DEFAULT = os.environ.get("MINLZ_EXEC_V1", "") != "1"
 
 
 def _interpret() -> bool:
@@ -97,10 +101,9 @@ def _stitch_kernel(meta_ref, a_ref, b_ref, outa_ref, outb_ref):
             m = first - row * 128
             a = jnp.broadcast_to(src_ref[0, pl.ds(row, 1), :], (8, 128))
             b = jnp.broadcast_to(src_ref[0, pl.ds(row + 1, 1), :], (8, 128))
-            idx = iota + m
-            va = jnp.take_along_axis(a, idx & 127, axis=1)
-            vb = jnp.take_along_axis(b, idx & 127, axis=1)
-            v = jnp.where(idx < 128, va, vb)
+            v = jnp.take_along_axis(
+                jnp.where(iota >= m, a, b), (iota + m) & 127, axis=1
+            )
             gpos = iota + q * 128
             mask = (gpos >= o) & (gpos < o + c)
             cur = jnp.broadcast_to(out_ref[pl.ds(q, 1), :], (8, 128))
@@ -216,6 +219,192 @@ def compact_ops_dense(kind, dst, clen, csrc, lsrc, llen, lane_off, lane_cnt,
     b = p2 & 0x1FFFF
     c = ((p2 >> 17) & 0x3FFF) + lane_u * pc + guard
     return jnp.stack([a, b, c], axis=2)
+
+
+# --------------------------------------------------------------------------
+# Precomputed-record compaction (executor v2)
+# --------------------------------------------------------------------------
+#
+# The r4 executor is scalar-unit-bound: ~30 always-on scalar ops per chain
+# per pass maintain the (lr, cr, eff, ls, cur) state machine even though
+# 98% of records complete in ONE pass (measured on the bench corpus:
+# literal and copy each fit one 512B arena row, no RLE doubling).  All
+# addressing is static — cursors are append-only and the transducer emits
+# dst — so v2 precomputes every fast record's window/store arguments at
+# compact time (vector-cheap) into three packed words:
+#
+#   W0 = lit window  row(15) | m(7)<<15 | bs(2)<<22 | llen(8)<<24
+#   W1 = copy window row(15) | m(7)<<15 | bs(2)<<22 | clen(8)<<24
+#   W2 = dst row(15) | q(9)<<15 | copy-row-bump(1)<<24        (bit31 = 0)
+#
+# Rare records (multi-row output, RLE doubling, or llen/clen > 255) ship
+# the legacy fields instead (bit31 of W2 set) and run on a drain state
+# machine whose scalars live in SMEM and execute only under pl.when:
+#
+#   W0 = lit_src_global(25) | llen[0:7)<<25
+#   W1 = csrc(17) | clen(14)<<17 | llen[7]<<31
+#   W2 = flag(1)<<31 | cur(25) | llen[8:14)<<25
+#
+# Hostile-input safety moves to compact time: llen/clen clamp to 14 bits
+# and to the record's range span, csrc clamps to [1, 2^17), and window rows
+# clamp into the arena — corrupt streams yield wrong bytes (stream CRC
+# catches), never out-of-bounds access.
+
+_F15 = 0x7FFF
+_F9 = 0x1FF
+
+
+def _win_fields(src, n_arena_rows):
+    """Pack a window byte address into row(15)|m(7)|bs(2) (vectorized)."""
+    src = jnp.maximum(src, 0)
+    ws = src >> 2
+    row = jnp.clip(ws >> 7, 0, n_arena_rows - 2)
+    m = jnp.clip(ws - row * 128, 0, 127)
+    bs = src & 3
+    return row | (m << 15) | (bs << 22)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nchain", "cap_chain", "pc", "n_arena_rows")
+)
+def compact_ops_fast(kind, dst, clen, csrc, lsrc, llen, lane_off, lane_cnt,
+                     out_base, last_row, nchain: int, cap_chain: int,
+                     pc: int, n_arena_rows: int):
+    """Pack per-row op records into DENSE per-chain PRECOMPUTED op lists.
+
+    kind..llen: [P, sub, 128] int32 transducer emissions.  lane_off/
+    lane_cnt: [L] — dense destination slots (see compact_ops_dense).
+    out_base/last_row: [L] int32 per-lane output cursor base (arena byte)
+    and last writable arena row — baked into every record so the executor
+    carries no cursor state at all.  Returns ops [nchain, cap_chain, 3].
+    """
+    P, sub = kind.shape[0], kind.shape[1]
+    L = lane_off.shape[0]
+    lanes = sub * 128
+
+    lane_idx = jnp.arange(lanes, dtype=jnp.int32).reshape(1, sub, 128)
+    ob = jnp.zeros((lanes,), jnp.int32).at[:L].set(out_base)
+    lrow = jnp.zeros((lanes,), jnp.int32).at[:L].set(last_row)
+    ob = ob.reshape(1, sub, 128)
+    lrow = lrow.reshape(1, sub, 128)
+
+    # Hostile clamps (valid encoder output is unaffected): 14-bit lengths,
+    # spans confined to the record's range, csrc in [1, 2^17).
+    llen_c = jnp.clip(llen, 0, (1 << 14) - 1)
+    clen_c = jnp.clip(clen, 0, (1 << 14) - 1)
+    rng_end = (lrow + 1) * ROW_B
+    cur = jnp.minimum(ob + jnp.maximum(dst, 0), rng_end - 1)
+    llen_c = jnp.minimum(llen_c, rng_end - cur)
+    clen_c = jnp.minimum(clen_c, rng_end - cur - llen_c)
+    csrc_c = jnp.clip(csrc, 1, (1 << 17) - 1)
+    ls_glob = lane_idx * pc + jnp.clip(lsrc, 0, pc - 1) + ROW_B
+
+    q = cur & (ROW_B - 1)
+    cur2 = cur + llen_c
+    q2 = cur2 & (ROW_B - 1)
+    lit_ok = (llen_c <= 255) & (q + llen_c <= ROW_B)
+    cpy_ok = (clen_c <= 255) & (q2 + clen_c <= ROW_B) & (csrc_c >= clen_c)
+    fast = lit_ok & (cpy_ok | (clen_c == 0))
+
+    row_a = cur >> 9
+    row_c = cur2 >> 9
+    w0f = _win_fields(ls_glob - q, n_arena_rows) | (llen_c << 24)
+    w1f = _win_fields(cur2 - csrc_c - q2, n_arena_rows) | (clen_c << 24)
+    w2f = row_a | (q << 15) | ((row_c - row_a) << 24)
+
+    w0s = ls_glob | ((llen_c & 0x7F) << 25)
+    w1s = csrc_c | (clen_c << 17) | (((llen_c >> 7) & 1) << 31)
+    w2s = (
+        jnp.int32(-(1 << 31)) | cur | (((llen_c >> 8) & 0x3F) << 25)
+    )
+
+    w0 = jnp.where(fast, w0f, w0s)
+    w1 = jnp.where(fast, w1f, w1s)
+    w2 = jnp.where(fast, w2f, w2s)
+
+    def lane_major(x):
+        return x.reshape(P, -1).T[:L]  # [L, P]
+
+    k = lane_major(kind)
+    w0 = lane_major(w0)
+    w1 = lane_major(w1)
+    w2 = lane_major(w2)
+
+    real = k > 0
+    big = jnp.int32(0x7FFFFFFF)
+    key = jnp.where(real, jnp.arange(P, dtype=jnp.int32)[None, :], big)
+    key_s, w0_s, w1_s, w2_s = jax.lax.sort(
+        (key, w0, w1, w2), dimension=1, num_keys=1
+    )
+    del key_s
+    meta = jnp.stack([lane_off, lane_cnt], axis=1)
+
+    Wr = P // 128
+    pad = jnp.zeros((L, 1, 128), jnp.int32)
+    a_p = jnp.concatenate([w0_s.reshape(L, Wr, 128), pad], axis=1)
+    b_p = jnp.concatenate([w1_s.reshape(L, Wr, 128), pad], axis=1)
+    c_p = jnp.concatenate([w2_s.reshape(L, Wr, 128), pad], axis=1)
+
+    rows = nchain * cap_chain // 128
+    win_spec = pl.BlockSpec((1, Wr + 1, 128), lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _stitch3_kernel,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            win_spec, win_spec, win_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, 128), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)] * 3,
+        interpret=_interpret(),
+    )(meta, a_p, b_p, c_p)
+    return jnp.stack(
+        [o.reshape(nchain, cap_chain) for o in out], axis=2
+    )
+
+
+def _stitch3_kernel(meta_ref, a_ref, b_ref, c_ref, outa_ref, outb_ref,
+                    outc_ref):
+    """3-array variant of _stitch_kernel; zero-fills the outputs at step 0
+    so unwritten slots are vacuous records (the v2 executor streams every
+    slot up to the tile limit)."""
+    i = pl.program_id(0)
+    o = meta_ref[i, 0]
+    c = meta_ref[i, 1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+    @pl.when(i == 0)
+    def _zero():
+        for ref in (outa_ref, outb_ref, outc_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    def write_rows(src_ref, out_ref):
+        def body(q, _):
+            first = q * 128 - o
+            row = jnp.maximum(first, 0) // 128
+            m = first - row * 128
+            a = jnp.broadcast_to(src_ref[0, pl.ds(row, 1), :], (8, 128))
+            b = jnp.broadcast_to(src_ref[0, pl.ds(row + 1, 1), :], (8, 128))
+            v = jnp.take_along_axis(
+                jnp.where(iota >= m, a, b), (iota + m) & 127, axis=1
+            )
+            gpos = iota + q * 128
+            mask = (gpos >= o) & (gpos < o + c)
+            cur = jnp.broadcast_to(out_ref[pl.ds(q, 1), :], (8, 128))
+            out_ref[pl.ds(q, 1), :] = jnp.where(mask, v, cur)[0:1]
+            return 0
+
+        jax.lax.fori_loop(o // 128, (o + c + 127) // 128, body, 0)
+
+    @pl.when(c > 0)
+    def _():
+        write_rows(a_ref, outa_ref)
+        write_rows(b_ref, outb_ref)
+        write_rows(c_ref, outc_ref)
 
 
 # --------------------------------------------------------------------------
@@ -555,17 +744,321 @@ def execute_scheduled(ops_flat, counts, bases, lastrows, comp, nchain: int,
 
 
 # --------------------------------------------------------------------------
+# Executor v2: precomputed records, stateless fast path + rare SMEM drain
+# --------------------------------------------------------------------------
+
+def _make_fast_kernel(nchain: int, cap_chain: int, n_arena_rows: int):
+    """Executor over precomputed records (see compact_ops_fast).
+
+    Fast records carry their complete window/store arguments, so the only
+    per-chain loop state is the op index; the vector work (two dynamic row
+    loads + lane rotates + one masked accumulator merge per sub-slot) is
+    gated by scalar length fields and overlaps the scalar stream.  Slow
+    records (bit31 of W2) load a legacy (lr, cr, eff, ls, cur) state
+    machine into SMEM and drain it under pl.when — only ~2% of passes on
+    real data.
+
+    Output rows go through a per-chain ACCUMULATOR row in VMEM scratch at
+    a static address: cursors are append-only and ranges are row-aligned,
+    so the chain's current output row is written many times (~76 records
+    per 512B row) before moving on.  The accumulator turns the per-slot
+    read-modify-write of a dynamic arena row (2 dynamic VMEM accesses)
+    into static-address scratch traffic, flushing one dynamic store per
+    row transition; window reads patch in the unflushed row with a select.
+    """
+    F = 8  # SMEM per chain: 0=drain 1=gidx 2=lr 3=cr 4=eff 5=ls 6=cur 7=accrow
+    # Timing-only ablation hooks (scripts/probe_v2.py): results are WRONG
+    # under any of these; they isolate which kernel component binds.
+    #   nota = no take_along_axis barrels; nowin = no window loads at all;
+    #   novec = no vector work in slots; nobr = no pl.when gating (slots
+    #   run unconditionally); noop = fetch/advance loop only.
+    abl = os.environ.get("MINLZ_ABL", "")
+
+    def kernel(ends_ref, ops_ref, comp_ref, arena_ref, st_ref, acc_ref):
+        t = pl.program_id(0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        b4 = iota * 4
+        comp_rows_in = comp_ref.shape[0]
+
+        @pl.when(t == 0)
+        def _init():
+            arena_ref[0:comp_rows_in] = comp_ref[...]
+            arena_ref[comp_rows_in:n_arena_rows] = jnp.zeros(
+                (n_arena_rows - comp_rows_in, 128), jnp.int32
+            )
+            acc_ref[...] = jnp.zeros((nchain, 128), jnp.int32)
+            for ch in range(nchain):
+                st_ref[ch * F + 0] = 0
+                st_ref[ch * F + 1] = 0
+                st_ref[ch * F + 7] = 0  # accrow 0 = guard row (all-zero)
+
+        def _realign(r0, r1, m, bs):
+            if abl == "nota":
+                return r0 ^ r1 ^ jnp.broadcast_to(m + bs, (8, 128))
+            # One gather per straddled row pair: because the gather index
+            # is iota + m (mod 128), pre-selecting rsel[lane] = r0[lane]
+            # for lane >= shift and r1[lane] below it makes a single
+            # take_along_axis return the two-row window — the wrapped
+            # indices (< m) are exactly the ones that must read r1.  This
+            # halves the dominant barrel count (measured ~50% of the
+            # executor) vs the 4-gather form.
+            w = jnp.take_along_axis(
+                jnp.where(iota >= m, r0, r1), (iota + m) & 127, axis=1
+            )
+            if abl == "noshift":  # timing-only: skip byte realign
+                return w
+            m1 = m + 1
+            wn = jnp.take_along_axis(
+                jnp.where(iota >= m1, r0, r1), (iota + m1) & 127, axis=1
+            )
+            sr_u = (bs * 8).astype(jnp.uint32)
+            sl = (32 - bs * 8) & 31
+            lo = (w.astype(jnp.uint32) >> sr_u).astype(jnp.int32)
+            hi = wn << sl
+            return jnp.where(bs == 0, lo, lo | hi)
+
+        def _rows_patched(ch, o, row):
+            """Arena rows [row, row+1] with the chain's unflushed
+            accumulator row patched in."""
+            if abl in ("nowin", "novec"):
+                z = jnp.broadcast_to(row, (8, 128))
+                return z, z
+            ar = st_ref[o + 7]
+            av = jnp.broadcast_to(acc_ref[pl.ds(ch, 1), :], (8, 128))
+            r0 = jnp.broadcast_to(arena_ref[pl.ds(row, 1), :], (8, 128))
+            r1 = jnp.broadcast_to(arena_ref[pl.ds(row + 1, 1), :], (8, 128))
+            r0 = jnp.where(row == ar, av, r0)
+            r1 = jnp.where(row + 1 == ar, av, r1)
+            return r0, r1
+
+        def window_f(ch, o, w):
+            """Window from precomputed row(15)|m(7)<<15|bs(2)<<22 fields."""
+            row = w & _F15
+            m = (w >> 15) & 127
+            bs = (w >> 22) & 3
+            r0, r1 = _rows_patched(ch, o, row)
+            return _realign(r0, r1, m, bs)
+
+        def window(ch, o, byte_start):
+            """Window from a byte address (drain path only)."""
+            ws = byte_start >> 2
+            bs = byte_start & 3
+            row = jnp.clip(ws >> 7, 0, n_arena_rows - 2)
+            m = ws - row * 128
+            r0, r1 = _rows_patched(ch, o, row)
+            return _realign(r0, r1, m, bs)
+
+        def bmask(lo_b, hi_b):
+            def lowmask(nbytes):
+                sh = (nbytes * 8).astype(jnp.uint32)
+                full = nbytes >= 4
+                m = ((jnp.uint32(1) << sh) - jnp.uint32(1)).astype(
+                    jnp.int32
+                )
+                return jnp.where(full, jnp.int32(-1), m)
+
+            n_hi = jnp.clip(hi_b - b4, 0, 4)
+            n_lo = jnp.clip(lo_b - b4, 0, 4)
+            return lowmask(n_hi) & ~lowmask(n_lo)
+
+        def store(ch, o, row, win, m):
+            """Merge a masked window into the chain's accumulator row,
+            flushing the previous row on transition (dst rows are fresh
+            when entered: cursors are append-only and ranges row-aligned,
+            so no arena read is ever needed for the new row)."""
+            if abl == "novec":
+                st_ref[o + 7] = row
+                return
+            ar = st_ref[o + 7]
+
+            @pl.when(row != ar)
+            def _flush(ar=ar):
+                arena_ref[pl.ds(ar, 1), :] = acc_ref[pl.ds(ch, 1), :]
+                acc_ref[pl.ds(ch, 1), :] = jnp.zeros((1, 128), jnp.int32)
+                st_ref[o + 7] = row
+
+            cur = jnp.broadcast_to(acc_ref[pl.ds(ch, 1), :], (8, 128))
+            acc_ref[pl.ds(ch, 1), :] = ((win & m) | (cur & ~m))[0:1]
+
+        lim = (t + 1) * OP_T
+        ends = [
+            jnp.minimum(ends_ref[ch], lim) for ch in range(nchain)
+        ]
+
+        def one_pass(g):
+            new = []
+            for ch in range(nchain):
+                gidx = g[ch]
+                o = ch * F
+                dr = st_ref[o]
+                fire = (dr == 0) & (gidx < lim)
+                idx = jnp.clip(gidx - t * OP_T, 0, OP_T - 1)
+                base = ch * (OP_T * 3) + idx * 3
+                a = ops_ref[base]
+                b = ops_ref[base + 1]
+                cw = ops_ref[base + 2]
+                slow = cw < 0
+                gidx = gidx + fire.astype(jnp.int32)
+                fastf = fire & ~slow
+                llen = (a >> 24) & 255
+                clen = (b >> 24) & 255
+                qv = (cw >> 15) & _F9
+
+                def _lit(a=a, cw=cw, qv=qv, llen=llen):
+                    store(ch, o, cw & _F15, window_f(ch, o, a),
+                          bmask(qv, qv + llen))
+
+                def _cpy(b=b, cw=cw, qv=qv, llen=llen, clen=clen):
+                    row_c = (cw & _F15) + ((cw >> 24) & 1)
+                    q2 = (qv + llen) & (ROW_B - 1)
+                    store(ch, o, row_c, window_f(ch, o, b),
+                          bmask(q2, q2 + clen))
+
+                if abl == "noop":
+                    new.append(gidx)
+                    continue
+                if abl == "nobr":
+                    _lit()
+                    _cpy()
+                else:
+                    pl.when(fastf & (llen > 0))(_lit)
+                    pl.when(fastf & (clen > 0))(_cpy)
+
+                @pl.when(fire & slow)
+                def _enter(a=a, b=b, cw=cw):
+                    ll = (a >> 25) & 0x7F
+                    ll = ll | (((b >> 31) & 1) << 7)
+                    ll = ll | (((cw >> 25) & 0x3F) << 8)
+                    st_ref[o + 2] = ll
+                    st_ref[o + 3] = (b >> 17) & 0x3FFF
+                    st_ref[o + 4] = b & 0x1FFFF
+                    st_ref[o + 5] = a & 0x1FFFFFF
+                    st_ref[o + 6] = cw & 0x1FFFFFF
+                    st_ref[o + 0] = 1
+
+                @pl.when(dr != 0)
+                def _drain(o=o):
+                    lr = st_ref[o + 2]
+                    cr = st_ref[o + 3]
+                    eff = st_ref[o + 4]
+                    ls = st_ref[o + 5]
+                    cur = st_ref[o + 6]
+                    q = cur & (ROW_B - 1)
+                    ta = jnp.minimum(lr, ROW_B - q)
+                    row_a = jnp.clip(cur >> 9, 0, n_arena_rows - 3)
+
+                    @pl.when(ta > 0)
+                    def _l(q=q, ta=ta, ls=ls, row_a=row_a):
+                        store(ch, o, row_a, window(ch, o, ls - q),
+                              bmask(q, q + ta))
+
+                    cur = cur + ta
+                    ls = ls + ta
+                    lr = lr - ta
+                    q2 = cur & (ROW_B - 1)
+                    tb = jnp.minimum(jnp.minimum(cr, eff), ROW_B - q2)
+                    tb = jnp.where(lr == 0, tb, 0)
+                    rowb = jnp.clip(cur >> 9, 0, n_arena_rows - 3)
+
+                    @pl.when(tb > 0)
+                    def _c(q2=q2, tb=tb, cur=cur, eff=eff, rowb=rowb):
+                        store(
+                            ch, o, rowb, window(ch, o, cur - eff - q2),
+                            bmask(q2, q2 + tb),
+                        )
+
+                    cur = cur + tb
+                    cr = cr - tb
+                    eff = jnp.where((tb == eff) & (cr > 0), eff * 2, eff)
+                    st_ref[o + 2] = lr
+                    st_ref[o + 3] = cr
+                    st_ref[o + 4] = eff
+                    st_ref[o + 5] = ls
+                    st_ref[o + 6] = cur
+                    st_ref[o + 0] = (
+                        (lr > 0) | (cr > 0)
+                    ).astype(jnp.int32)
+
+                new.append(gidx)
+            return new
+
+        def cond(state):
+            act = None
+            for ch in range(nchain):
+                a = (state[2 * ch] < ends[ch]) | (state[2 * ch + 1] != 0)
+                act = a if act is None else (act | a)
+            return act
+
+        unroll = 2 if _interpret() else 8
+
+        def body(state):
+            g = [state[2 * ch] for ch in range(nchain)]
+            for _ in range(unroll):
+                g = one_pass(g)
+            out = []
+            for ch in range(nchain):
+                out += [g[ch], st_ref[ch * F]]
+            return tuple(out)
+
+        state = []
+        for ch in range(nchain):
+            state += [st_ref[ch * F + 1], st_ref[ch * F]]
+        state = jax.lax.while_loop(cond, body, tuple(state))
+        for ch in range(nchain):
+            st_ref[ch * F + 1] = state[2 * ch]
+            # Flush the accumulator so the arena is current at step end
+            # (idempotent; the accumulator itself persists across steps).
+            ar = st_ref[ch * F + 7]
+            arena_ref[pl.ds(ar, 1), :] = acc_ref[pl.ds(ch, 1), :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nchain", "cap_chain", "n_arena_rows")
+)
+def execute_fast(ops_flat, ends, comp, nchain: int, cap_chain: int,
+                 n_arena_rows: int):
+    """Run the v2 executor.  ops_flat: tile-major precomputed op words (see
+    execute_scheduled for the layout); ends: [nchain] int32 total ops per
+    chain; comp: [comp_rows_in, 128] int32 guard row + compressed lanes."""
+    grid = (cap_chain // OP_T,)
+    tile_w = tile_words(nchain)
+    kernel = pl.pallas_call(
+        _make_fast_kernel(nchain, cap_chain, n_arena_rows),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_w,), lambda t: (t,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((comp.shape[0], 128), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_arena_rows, 128), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_arena_rows, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.SMEM((nchain * 8,), jnp.int32),
+            pltpu.VMEM((nchain, 128), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )
+    return kernel(ends, ops_flat, comp)
+
+
+# --------------------------------------------------------------------------
 # Fused batched decode: parse -> compact -> schedule -> execute in one jit
 # --------------------------------------------------------------------------
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows", "pc", "spr", "R", "K", "nchain", "cap_pr",
-                     "out_rows", "planar"),
+                     "out_rows", "planar", "seg", "v2"),
 )
 def _decode_batch_jit(comp_lanes, lens, bases_r, lastrow_r, n_rows: int,
                       pc: int, spr: int, R: int, K: int, nchain: int,
-                      cap_pr: int, out_rows: int, planar: bool = False):
+                      cap_pr: int, out_rows: int, planar: bool = False,
+                      seg: int = 4096, v2: bool = True):
     """Fused multi-block decode.  comp_lanes: [lanes, pc] uint8 per-segment
     token streams (zero padded, all blocks' segments stacked); lens:
     [sub, 128] int32; bases_r/lastrow_r: [R] int32 per-range output cursor
@@ -636,22 +1129,6 @@ def _decode_batch_jit(comp_lanes, lens, bases_r, lastrow_r, n_rows: int,
     ).reshape(-1)
     lane_off = (range_start[:, None] + within_c).reshape(-1)
 
-    ops = compact_ops_dense(
-        *emits, lane_off, lane_cnt, nchain=nchain, cap_chain=cap_chain,
-        pc=pc, guard=PROW_B if planar else ROW_B,
-    )
-
-    n_tiles = cap_chain // OP_T
-    tiles = (
-        ops.reshape(nchain, n_tiles, OP_T, 3)
-        .transpose(1, 0, 2, 3)
-        .reshape(n_tiles, nchain * OP_T * 3)
-    )
-    tw = tile_words(nchain)
-    ops_flat = jnp.pad(
-        tiles, ((0, 0), (0, tw - nchain * OP_T * 3))
-    ).reshape(n_tiles * tw)
-
     # Comp prefix: guard row (negative-window clamp target) + per-lane comp
     # bytes — packed 4-per-word, or 1-per-lane in planar mode; the kernel
     # zero-fills the output region.
@@ -667,11 +1144,47 @@ def _decode_batch_jit(comp_lanes, lens, bases_r, lastrow_r, n_rows: int,
         [jnp.zeros((1, 128), jnp.int32), comp_body], axis=0
     )
     n_arena_rows = 1 + comp_rows + out_rows + 2
-    out = execute_scheduled(
-        ops_flat, counts_cs.reshape(-1), bases_cs.reshape(-1),
-        lastrow_cs.reshape(-1), comp, nchain=nchain, K=K,
-        cap_chain=cap_chain, n_arena_rows=n_arena_rows, planar=planar,
+
+    use_v2 = v2 and not planar
+    if use_v2:
+        out_base = (
+            jnp.repeat(bases_r, spr)
+            + (jnp.arange(L, dtype=jnp.int32) % spr) * seg
+        )
+        last_row = jnp.repeat(lastrow_r, spr)
+        ops = compact_ops_fast(
+            *emits, lane_off, lane_cnt, out_base, last_row,
+            nchain=nchain, cap_chain=cap_chain, pc=pc,
+            n_arena_rows=n_arena_rows,
+        )
+    else:
+        ops = compact_ops_dense(
+            *emits, lane_off, lane_cnt, nchain=nchain, cap_chain=cap_chain,
+            pc=pc, guard=PROW_B if planar else ROW_B,
+        )
+
+    n_tiles = cap_chain // OP_T
+    tiles = (
+        ops.reshape(nchain, n_tiles, OP_T, 3)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_tiles, nchain * OP_T * 3)
     )
+    tw = tile_words(nchain)
+    ops_flat = jnp.pad(
+        tiles, ((0, 0), (0, tw - nchain * OP_T * 3))
+    ).reshape(n_tiles * tw)
+
+    if use_v2:
+        out = execute_fast(
+            ops_flat, counts_cs.sum(axis=1).astype(jnp.int32), comp,
+            nchain=nchain, cap_chain=cap_chain, n_arena_rows=n_arena_rows,
+        )
+    else:
+        out = execute_scheduled(
+            ops_flat, counts_cs.reshape(-1), bases_cs.reshape(-1),
+            lastrow_cs.reshape(-1), comp, nchain=nchain, K=K,
+            cap_chain=cap_chain, n_arena_rows=n_arena_rows, planar=planar,
+        )
     return out, counts
 
 
@@ -774,7 +1287,8 @@ def plan_batch(blocks_segs, seg: int, rng: int = RANGE,
 
     arrays = (comp_lanes, lens, bases, lastrow)
     statics = dict(n_rows=n_rows, pc=pc, spr=spr, R=R, K=K, nchain=nchain,
-                   cap_pr=cap_pr, out_rows=out_rows, planar=planar)
+                   cap_pr=cap_pr, out_rows=out_rows, planar=planar,
+                   seg=seg, v2=_V2_DEFAULT)
     return arrays, statics, out0, nrng_b
 
 
@@ -792,8 +1306,12 @@ def decode_blocks_chained(blocks_segs, out_totals, seg: int,
     workload fits (~1 MiB of output on 16 MB-VMEM parts).
     """
     if planar is None:
-        total_out = sum(len(s) * seg for s in blocks_segs)
-        planar = total_out <= PLANAR_MAX_OUT
+        # The v2 packed executor beats the planar arena (precomputed
+        # records remove the state machine the planar trade targeted), so
+        # planar is now opt-in via MINLZ_DEC_PLANAR/explicit arg.
+        planar = False if _V2_DEFAULT else (
+            sum(len(s) * seg for s in blocks_segs) <= PLANAR_MAX_OUT
+        )
     (comp_lanes, lens, bases, lastrow), statics, out0, nrng_b = plan_batch(
         blocks_segs, seg, rng, cap_pr, planar
     )
