@@ -153,12 +153,20 @@ def main():
         jnp.asarray(np.frombuffer(b, np.uint8))[None, :] for b in blocks
     ]
 
-    def enc_step(flat_u8):
+    # Batched match finding: ENC_BATCH blocks per dispatch (the Writer's
+    # production shape — one launch per 16-block batch; batching amortizes
+    # fixed per-dispatch work, measured 9.0 -> 7.0 ms/MB at batch 4).
+    enc_batch = min(int(os.environ.get("MINLZ_ENC_BATCH", "4")), n_blocks)
+    arr = np.zeros((enc_batch, block_size), np.uint8)
+    for i in range(enc_batch):
+        arr[i] = np.frombuffer(blocks[i], np.uint8)
+    arr_dev = jnp.asarray(arr)
+    ns_dev = jnp.full((enc_batch,), block_size, jnp.int32)
+
+    def enc_step(a, ns):
         # rng=RANGE clamps match sources to 128KiB ranges (parse-hints v2)
         # so the decode phase can run the chained parallel executor.
-        flat = flat_u8.astype(jnp.int32)
-        dist, _ = ek.find_matches_dyn(flat, block_size, seg, ec.RANGE)
-        return dist
+        return ek._find_matches_batch(a, ns, seg, ec.RANGE, 2)
 
     import contextlib
 
@@ -169,22 +177,52 @@ def main():
     )
     enc_fn = jax.jit(enc_step)
     with prof:
-        t_enc_dev, _ = timed_device(enc_fn, (data_dev[0],), ITERS)
+        t_enc_batch, _ = timed_device(enc_fn, (arr_dev, ns_dev), ITERS)
+    t_enc_dev = t_enc_batch / enc_batch
     t_enc_dev_total = t_enc_dev * n_blocks
 
     # ---------------- Encode host phase (parse + serialization) -----------
+    # Threaded over the host's cores (the native codec releases the GIL;
+    # the reference writer likewise encodes with GOMAXPROCS goroutines,
+    # writer.go:214-272) and medianed over repeats.
+    from concurrent.futures import ThreadPoolExecutor
+
     from minlz_tpu.native.codec import get_codec
 
     codec = get_codec()
-    dists = [np.asarray(enc_fn(d)).reshape(-1) for d in data_dev]
-    t0 = time.perf_counter()
-    blocks_enc = []
-    all_hints = []
-    for b, dist_np in zip(blocks, dists):
-        body, hints = codec.parse_serialize(b, dist_np, seg, ec.RANGE)
-        blocks_enc.append(body)
-        all_hints.append(hints)
-    t_enc_host = time.perf_counter() - t0
+    dists = []
+    for i in range(0, n_blocks, enc_batch):
+        chunk = blocks[i : i + enc_batch]
+        a = np.zeros((len(chunk), block_size), np.uint8)
+        for j, b in enumerate(chunk):
+            a[j] = np.frombuffer(b, np.uint8)
+        d = np.asarray(
+            enc_fn(jnp.asarray(a),
+                   jnp.full((len(chunk),), block_size, jnp.int32))
+        )
+        dists.extend(d[j] for j in range(len(chunk)))
+
+    nthreads = min(os.cpu_count() or 1, 8)
+    pool = ThreadPoolExecutor(nthreads)
+
+    def host_pass():
+        futs = [
+            pool.submit(codec.parse_serialize, b, d, seg, ec.RANGE)
+            for b, d in zip(blocks, dists)
+        ]
+        return [f.result() for f in futs]
+
+    host_times = []
+    results = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        results = host_pass()
+        host_times.append(time.perf_counter() - t0)
+    host_times.sort()
+    t_enc_host = host_times[len(host_times) // 2]
+    pool.shutdown()
+    blocks_enc = [r[0] for r in results]
+    all_hints = [r[1] for r in results]
 
     comp_total = sum(len(b) for b in blocks_enc)
     ratio = comp_total / len(corpus)

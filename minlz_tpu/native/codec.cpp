@@ -1169,6 +1169,223 @@ extern "C" {
 // independent (repeat offset and literal run reset at each boundary), which
 // is what makes both the device decoder's lane parallelism and this
 // function's thread parallelism legal.
+// Segment-scoped optimal parse over DEVICE match proposals (level 3 of
+// the device encode path): the same beam DP as encode_optimal, but the
+// candidate set is the device's dist[] hints — verified byte-exactly and
+// backward-extended into proposal-free predecessors — plus repeat
+// transitions.  Each segment starts with NO live repeat (the device
+// decode transducer resets repeat state per segment), matching the
+// greedy path's contract.  Reference quality bar: encode_l3.go:118-169.
+static void dp_segment(const uint8_t* src, const int32_t* dist, size_t s0,
+                       size_t s1, size_t rng0, std::vector<uint8_t>& body) {
+  using namespace optimal;
+  const int beam = 4;
+  const size_t m = s1 - s0;
+
+  // Backward-extend proposals into earlier proposal-free positions (what
+  // the greedy loop's backward extension recovers at emit time).
+  std::vector<uint32_t> deff(m, 0);
+  for (size_t i = 0; i < m; i++) {
+    int32_t d = dist[s0 + i];
+    if (d > 0) deff[i] = (uint32_t)d;
+  }
+  for (size_t i = m; i-- > 1;) {
+    uint32_t d = deff[i];
+    if (!d) continue;
+    size_t q = s0 + i;
+    while (q > s0 && deff[q - 1 - s0] == 0 && q - 1 >= d &&
+           q - 1 - d >= rng0 && src[q - 1] == src[q - 1 - d]) {
+      q--;
+      deff[q - s0] = d;
+    }
+  }
+
+  // Local hash-chain candidates COMPLEMENT the device proposals: the
+  // proposal keeps only the best-by-length match per position, so the DP
+  // cannot trade a long far match for a near (cheaper token class) one.
+  // The chain covers a bounded recent window; distances beyond it are the
+  // device proposals' job (long-range tiers).
+  const size_t kChainWin = 128 << 10;
+  const int kChainDepth = 24;
+  const int hbits = 15;
+  size_t wstart = s0 > kChainWin ? s0 - kChainWin : 0;
+  if (wstart < rng0) wstart = rng0;
+  std::vector<int32_t> head((size_t)1 << hbits, -1);
+  std::vector<int32_t> prev(s1 - wstart, -1);
+  const size_t chain_lim = s1 >= 4 ? s1 - 4 : 0;
+  for (size_t p = wstart; p < s0 && p < chain_lim; p++) {
+    uint32_t h = hash4(load32(src + p), hbits);
+    prev[p - wstart] = head[h];
+    head[h] = (int32_t)(p - wstart);
+  }
+
+  Dp dp{src, m, beam, {}};
+  dp.st.assign((m + 1) * (size_t)beam, Slot{});
+  dp.push(0, 0, 0, 0, 0);
+
+  uint32_t cand_off[3], cand_len[3];
+  for (size_t i = 0; i < m; i++) {
+    Slot* cur = dp.at(i);
+    size_t abs = s0 + i;
+
+    // Candidate classes: best length per token-cost class, seeded from
+    // the chain walk, then the (longer-range) device proposal.
+    cand_len[0] = cand_len[1] = cand_len[2] = 0;
+    if (abs < chain_lim) {
+      uint32_t cv = load32(src + abs);
+      int32_t j = head[hash4(cv, hbits)];
+      int depth = 0;
+      while (j >= 0 && depth < kChainDepth) {
+        size_t pj = wstart + (size_t)j;
+        uint32_t off = (uint32_t)(abs - pj);
+        if (load32(src + pj) == cv) {
+          size_t l = 4 + match_len(src + abs + 4, src + pj + 4,
+                                   s1 - abs - 4);
+          int cls = off <= 1024 ? 0 : off <= 65599 ? 1 : 2;
+          if (l > cand_len[cls]) {
+            cand_len[cls] = (uint32_t)l;
+            cand_off[cls] = off;
+          }
+        }
+        j = prev[(size_t)j];
+        depth++;
+      }
+    }
+    uint32_t cd = deff[i];
+    if (cd && cd <= abs && abs - cd >= rng0 && cd <= kMaxOffset) {
+      size_t l = match_len(src + abs, src + abs - cd, s1 - abs);
+      if (l >= 4) {
+        int cls = cd <= 1024 ? 0 : cd <= 65599 ? 1 : 2;
+        if (l > cand_len[cls]) {
+          cand_len[cls] = (uint32_t)l;
+          cand_off[cls] = cd;
+        }
+      }
+    }
+
+    for (int k = 0; k < beam; k++) {
+      if (cur[k].cost == 0xFFFFFFFFu) continue;
+      const uint32_t cost = cur[k].cost;
+      const uint32_t rep = cur[k].rep;
+      const uint32_t litrun = cur[k].litrun;
+
+      {  // literal step
+        uint32_t lr = litrun + 1;
+        uint32_t extra =
+            1 + (cost_lit_hdr(lr) - (litrun ? cost_lit_hdr(litrun) : 0));
+        dp.push(i + 1, rep, cost + extra, lr, pack_edge(kLit, k, 1, 0));
+      }
+
+      if (rep && rep <= abs && abs - rep >= rng0) {
+        size_t maxl = match_len(src + abs, src + abs - rep, s1 - abs);
+        if (maxl >= 2) {
+          uint32_t ls[4] = {(uint32_t)maxl, 29, 285, 2};
+          for (uint32_t L : ls) {
+            if (L < 2 || L > maxl) continue;
+            dp.push(i + L, rep, cost + cost_repeat(L), 0,
+                    pack_edge(kRep, k, L, rep));
+          }
+        }
+      }
+
+      for (int cls = 0; cls < 3; cls++) {
+        uint32_t cmax = cand_len[cls];
+        if (cmax < 4) continue;
+        uint32_t co = cand_off[cls];
+        if (co == rep) continue;  // the repeat transition covers it
+        uint32_t ls[5];
+        int nl = 0;
+        ls[nl++] = cmax;
+        if (cls == 0) {
+          if (cmax > 18) ls[nl++] = 18;
+          if (cmax > 273) ls[nl++] = 273;
+        } else {
+          if (cmax > 64) ls[nl++] = 64;
+        }
+        if (cmax > 4) ls[nl++] = 4;
+        for (int q = 0; q < nl; q++) {
+          uint32_t L = ls[q];
+          dp.push(i + L, co, cost + cost_copy(co, L), 0,
+                  pack_edge(kCopy, k, L, co));
+        }
+        if (litrun >= 1 && litrun <= 4 && co >= 64 && co <= 65599) {
+          uint32_t L = cmax < 11 ? cmax : 11;
+          dp.push(i + L, co, cost + 2, 0, pack_edge(kFused, k, L, co));
+        }
+        if (litrun >= 1 && litrun <= 3 && co > 65599) {
+          dp.push(i + cmax, co, cost + cost_copy(co, cmax) - 1, 0,
+                  pack_edge(kFused, k, cmax, co));
+        }
+      }
+    }
+
+    if (abs < chain_lim) {
+      uint32_t h = hash4(load32(src + abs), hbits);
+      prev[abs - wstart] = head[h];
+      head[h] = (int32_t)(abs - wstart);
+    }
+  }
+
+  Slot* fin = dp.at(m);
+  int bk = -1;
+  for (int k = 0; k < beam; k++) {
+    if (fin[k].cost == 0xFFFFFFFFu) continue;
+    if (bk < 0 || fin[k].cost < fin[bk].cost) bk = k;
+  }
+  // A pure-literal path always reaches m, so bk >= 0.
+
+  struct Edge {
+    uint32_t type, len, off;
+  };
+  std::vector<Edge> edges;
+  {
+    size_t i = m;
+    int k = bk;
+    while (i > 0) {
+      uint64_t e = dp.at(i)[k].parent;
+      edges.push_back({(uint32_t)(e & 3), (uint32_t)((e >> 5) & 0x7FFFFF),
+                       (uint32_t)(e >> 28)});
+      i -= edges.back().len;
+      k = (int)((e >> 2) & 7);
+    }
+  }
+
+  size_t pos = s0, run = 0;
+  for (size_t e = edges.size(); e-- > 0;) {
+    const Edge& ed = edges[e];
+    switch (ed.type) {
+      case kLit:
+        run += ed.len;
+        pos += ed.len;
+        break;
+      case kRep:
+        if (run) emit_literals(body, src + pos - run, run), run = 0;
+        emit_repeat(body, ed.len);
+        pos += ed.len;
+        break;
+      case kCopy:
+        if (run) emit_literals(body, src + pos - run, run), run = 0;
+        if (ed.off <= 1024) emit_copy1(body, ed.off, ed.len);
+        else if (ed.off <= 65599) emit_copy2(body, ed.off, ed.len);
+        else emit_copy3(body, ed.off, ed.len, nullptr, 0);
+        pos += ed.len;
+        break;
+      case kFused: {
+        const uint8_t* lits = src + pos - run;
+        if (ed.off <= 65599) {
+          emit_fused2(body, lits, (uint32_t)run, ed.off, ed.len);
+        } else {
+          emit_copy3(body, ed.off, ed.len, lits, (uint32_t)run);
+        }
+        run = 0;
+        pos += ed.len;
+        break;
+      }
+    }
+  }
+  if (run) emit_literals(body, src + pos - run, run);
+}
+
 static bool parse_serialize_range(
     const uint8_t* src, size_t n, const int32_t* dist, size_t seg,
     size_t seg_begin, size_t seg_end, std::vector<uint8_t>& body,
@@ -1185,6 +1402,13 @@ static bool parse_serialize_range(
     // only move forward — no separate clamp needed.
     size_t rng0 = rng ? (s0 & ~(rng - 1)) : 0;
     hints_out[si] = (int64_t)body.size();
+    if (level >= 3) {
+      // Level 3: beam DP over the device proposals (reference
+      // encodeBlockBest analog, encode_l3.go:38 — "no speed target").
+      dp_segment(src, dist, s0, s1, rng0, body);
+      if (body.size() >= limit) return false;
+      continue;
+    }
     size_t lit_start = s0;
     uint32_t rep = 0;
     size_t p = s0;

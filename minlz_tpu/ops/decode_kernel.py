@@ -67,7 +67,7 @@ def parse_segments_scan(mat, lens):
         return (st, row + 1), emit
 
     (_, _), emits = jax.lax.scan(step, (st0, jnp.int32(0)), mat)
-    return emits  # (kind, dst, clen, csrc, lsrc, llen) each [P, B]
+    return emits  # (kind, dst, clen, csrc, lsrc, llen, lacc) each [P, B]
 
 
 def execute_ops_host(op_kind, op_dst, op_clen, op_csrc, op_lsrc, op_llen,
@@ -121,4 +121,4 @@ def decode_segments_jnp(seg_bytes_list, out_lens):
     """Decode a batch of segments: scan parse + host execute (reference)."""
     mat, lens = pack_segments(seg_bytes_list)
     emits = parse_segments_scan(jnp.asarray(mat), jnp.asarray(lens))
-    return execute_ops_host(*emits, mat, out_lens)
+    return execute_ops_host(*emits[:6], mat, out_lens)

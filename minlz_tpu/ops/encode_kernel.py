@@ -246,7 +246,14 @@ def find_matches_dyn(data_flat, n, seg: int = SEG, rng: int = 0,
         while M % Ws:  # sort rows must tile M exactly
             Ws //= 2
         scands = _window_pass(keyflat, vals, M, Ws, 0, nback=1 + deep)
-        if M > Ws:
+        # The shifted pass exists for matches straddling a sort-window
+        # boundary.  When the range clamp tiles the sample windows exactly
+        # (stride * Ws a multiple of rng, e.g. stride-8 x 16Ki samples =
+        # 128 KiB windows under the 128 KiB clamp), every cross-window
+        # candidate is illegal anyway — the pass is pure sort cost, skip
+        # it (measured ~1.3 ms/MB of the encode device phase).
+        cross_useful = not (rng and (stride * Ws) % rng == 0)
+        if M > Ws and cross_useful:
             scands += _window_pass(keyflat, vals, M, Ws, Ws // 2,
                                    nback=1 + deep)
         run_cap = max(seg // stride, 2)

@@ -234,8 +234,12 @@ def compact_ops_dense(kind, dst, clen, csrc, lsrc, llen, lane_off, lane_cnt,
 # compact time (vector-cheap) into three packed words:
 #
 #   W0 = lit window  row(15) | m(7)<<15 | bs(2)<<22 | llen(8)<<24
+#        (or, when the inline bit of W2 is set, the literal run's <= 4
+#        bytes verbatim — collected by the transducer — so short runs
+#        need no window gather at all)
 #   W1 = copy window row(15) | m(7)<<15 | bs(2)<<22 | clen(8)<<24
-#   W2 = dst row(15) | q(9)<<15 | copy-row-bump(1)<<24        (bit31 = 0)
+#   W2 = dst row(15) | q(9)<<15 | copy-row-bump(1)<<24 | inline(1)<<25
+#        | inline-llen(3)<<26                                 (bit31 = 0)
 #
 # Rare records (multi-row output, RLE doubling, or llen/clen > 255) ship
 # the legacy fields instead (bit31 of W2 set) and run on a drain state
@@ -267,9 +271,9 @@ def _win_fields(src, n_arena_rows):
 @functools.partial(
     jax.jit, static_argnames=("nchain", "cap_chain", "pc", "n_arena_rows")
 )
-def compact_ops_fast(kind, dst, clen, csrc, lsrc, llen, lane_off, lane_cnt,
-                     out_base, last_row, nchain: int, cap_chain: int,
-                     pc: int, n_arena_rows: int):
+def compact_ops_fast(kind, dst, clen, csrc, lsrc, llen, lacc, lane_off,
+                     lane_cnt, out_base, last_row, nchain: int,
+                     cap_chain: int, pc: int, n_arena_rows: int):
     """Pack per-row op records into DENSE per-chain PRECOMPUTED op lists.
 
     kind..llen: [P, sub, 128] int32 transducer emissions.  lane_off/
@@ -308,9 +312,21 @@ def compact_ops_fast(kind, dst, clen, csrc, lsrc, llen, lane_off, lane_cnt,
 
     row_a = cur >> 9
     row_c = cur2 >> 9
-    w0f = _win_fields(ls_glob - q, n_arena_rows) | (llen_c << 24)
+    # Short literal runs travel INLINE: the transducer collects each run's
+    # first four bytes (lacc), so records with llen <= 4 replace the lit
+    # window fields with the literal bytes themselves and the executor
+    # materializes them from the op word — no compressed-window gather.
+    inline = (llen_c >= 1) & (llen_c <= 4)
+    w0f = jnp.where(
+        inline, lacc,
+        _win_fields(ls_glob - q, n_arena_rows) | (llen_c << 24),
+    )
     w1f = _win_fields(cur2 - csrc_c - q2, n_arena_rows) | (clen_c << 24)
-    w2f = row_a | (q << 15) | ((row_c - row_a) << 24)
+    w2f = (
+        row_a | (q << 15) | ((row_c - row_a) << 24)
+        | (inline.astype(jnp.int32) << 25)
+        | (jnp.where(inline, llen_c, 0) << 26)
+    )
 
     w0s = ls_glob | ((llen_c & 0x7F) << 25)
     w1s = csrc_c | (clen_c << 17) | (((llen_c >> 7) & 1) << 31)
@@ -861,17 +877,26 @@ def _make_fast_kernel(nchain: int, cap_chain: int, n_arena_rows: int):
             n_lo = jnp.clip(lo_b - b4, 0, 4)
             return lowmask(n_hi) & ~lowmask(n_lo)
 
-        def store(ch, o, row, win, m):
+        def store(ch, o, row, win, m, active=None):
             """Merge a masked window into the chain's accumulator row,
             flushing the previous row on transition (dst rows are fresh
             when entered: cursors are append-only and ranges row-aligned,
-            so no arena read is ever needed for the new row)."""
+            so no arena read is ever needed for the new row).
+
+            ``active``: scalar gate for VACUOUS slots (empty mask).  The
+            merge itself is a no-op then, but the flush must not fire —
+            a record ending exactly at its range end computes row one
+            past its own range, and moving accrow there would make a
+            later flush drop zeros into ANOTHER chain's rows."""
             if abl == "novec":
                 st_ref[o + 7] = row
                 return
             ar = st_ref[o + 7]
+            changed = (row != ar) if active is None else (
+                active & (row != ar)
+            )
 
-            @pl.when(row != ar)
+            @pl.when(changed)
             def _flush(ar=ar):
                 arena_ref[pl.ds(ar, 1), :] = acc_ref[pl.ds(ch, 1), :]
                 acc_ref[pl.ds(ch, 1), :] = jnp.zeros((1, 128), jnp.int32)
@@ -900,9 +925,43 @@ def _make_fast_kernel(nchain: int, cap_chain: int, n_arena_rows: int):
                 slow = cw < 0
                 gidx = gidx + fire.astype(jnp.int32)
                 fastf = fire & ~slow
-                llen = (a >> 24) & 255
+                inl = (cw >> 25) & 1
+                llen = jnp.where(
+                    inl == 1, (cw >> 26) & 7, (a >> 24) & 255
+                )
                 clen = (b >> 24) & 255
                 qv = (cw >> 15) & _F9
+
+                # Separate pl.when regions per sub-slot measured FASTER
+                # than one merged region per record (25.4 vs 29.5 ms/MB
+                # full-decode on the bench batch) — Mosaic schedules the
+                # small gated bodies better than one large one.
+
+                def _ilit(a=a, cw=cw, qv=qv, llen=llen):
+                    # Inline literal: materialize the run's <=4 bytes from
+                    # the op word itself — two scalar-broadcast lane
+                    # selects, no window gather.
+                    sh = ((qv & 3) * 8).astype(jnp.uint32)
+                    val = a << sh
+                    spill = jnp.where(
+                        sh == 0,
+                        0,
+                        (
+                            a.astype(jnp.uint32)
+                            >> (jnp.uint32(32) - sh)
+                        ).astype(jnp.int32),
+                    )
+                    l0 = qv >> 2
+                    win = jnp.where(
+                        iota == l0,
+                        jnp.broadcast_to(val, (8, 128)),
+                        jnp.where(
+                            iota == l0 + 1,
+                            jnp.broadcast_to(spill, (8, 128)),
+                            0,
+                        ),
+                    )
+                    store(ch, o, cw & _F15, win, bmask(qv, qv + llen))
 
                 def _lit(a=a, cw=cw, qv=qv, llen=llen):
                     store(ch, o, cw & _F15, window_f(ch, o, a),
@@ -921,7 +980,8 @@ def _make_fast_kernel(nchain: int, cap_chain: int, n_arena_rows: int):
                     _lit()
                     _cpy()
                 else:
-                    pl.when(fastf & (llen > 0))(_lit)
+                    pl.when(fastf & (inl == 1))(_ilit)
+                    pl.when(fastf & (inl == 0) & (llen > 0))(_lit)
                     pl.when(fastf & (clen > 0))(_cpy)
 
                 @pl.when(fire & slow)
@@ -989,7 +1049,9 @@ def _make_fast_kernel(nchain: int, cap_chain: int, n_arena_rows: int):
                 act = a if act is None else (act | a)
             return act
 
-        unroll = 2 if _interpret() else 8
+        unroll = 2 if _interpret() else int(
+            os.environ.get("MINLZ_UNROLL", "8")
+        )
 
         def body(state):
             g = [state[2 * ch] for ch in range(nchain)]
@@ -1159,8 +1221,8 @@ def _decode_batch_jit(comp_lanes, lens, bases_r, lastrow_r, n_rows: int,
         )
     else:
         ops = compact_ops_dense(
-            *emits, lane_off, lane_cnt, nchain=nchain, cap_chain=cap_chain,
-            pc=pc, guard=PROW_B if planar else ROW_B,
+            *emits[:6], lane_off, lane_cnt, nchain=nchain,
+            cap_chain=cap_chain, pc=pc, guard=PROW_B if planar else ROW_B,
         )
 
     n_tiles = cap_chain // OP_T

@@ -55,7 +55,7 @@ def _interpret() -> bool:
 
 def _make_parse_kernel(sub: int, row_tile: int):
     def _parse_kernel(lens_ref, comp_ref, kind_ref, dst_ref, clen_ref,
-                      csrc_ref, lsrc_ref, llen_ref, state_ref):
+                      csrc_ref, lsrc_ref, llen_ref, lacc_ref, state_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -73,7 +73,7 @@ def _make_parse_kernel(sub: int, row_tile: int):
             byte = (word >> ((row & 3) * 8)) & 255
             active = row < lens
             flush = row == lens  # trailing held-literal flush row
-            st, (opk, opd, opcl, opcs, opls, opll) = parse_step(
+            st, (opk, opd, opcl, opcs, opls, opll, opla) = parse_step(
                 st, byte, active, row, flush
             )
             kind_ref[r] = opk
@@ -82,6 +82,7 @@ def _make_parse_kernel(sub: int, row_tile: int):
             csrc_ref[r] = opcs
             lsrc_ref[r] = opls
             llen_ref[r] = opll
+            lacc_ref[r] = opla
             return st
 
         st = jax.lax.fori_loop(0, row_tile, body, st)
@@ -103,8 +104,8 @@ def parse_segments_pallas(comp_words, lens, n_rows: int):
     """comp_words: [n_rows//4, sub, 128] int32 packed bytes (column-major
     per lane; sub = lens.shape[0], lanes = sub*128).  lens: [sub, 128]
     compressed byte counts — every count must be < n_rows so each lane
-    gets its flush row.  Returns 6 op arrays [n_rows, sub, 128]
-    (kind, dst, clen, csrc, lsrc, llen)."""
+    gets its flush row.  Returns 7 op arrays [n_rows, sub, 128]
+    (kind, dst, clen, csrc, lsrc, llen, lacc)."""
     sub = lens.shape[0]
     row_tile = parse_row_tile(sub)
     grid = (n_rows // row_tile,)
@@ -121,8 +122,8 @@ def parse_segments_pallas(comp_words, lens, n_rows: int):
         out_specs=[
             pl.BlockSpec((row_tile, sub, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM)
-        ] * 6,
-        out_shape=[out_shape] * 6,
+        ] * 7,
+        out_shape=[out_shape] * 7,
         scratch_shapes=[pltpu.VMEM((_N_FIELDS, sub, 128), jnp.int32)],
         interpret=_interpret(),
     )
@@ -487,7 +488,7 @@ def decode_block_tpu(seg_bytes_list, out_total: int, seg: int = SEG_OUT):
     bound = total_comp // 2 + len(seg_bytes_list) + 1
     max_ops = -(-min(bound, n_rows * lanes) // OP_TILE) * OP_TILE
     max_ops = max(max_ops, OP_TILE)
-    packed, n_real = compact_ops(*emits, max_ops)
+    packed, n_real = compact_ops(*emits[:6], max_ops)
 
     seg_rows = seg // 128
     n_out_rows = nseg * seg_rows + 8  # +8 rows window-load margin

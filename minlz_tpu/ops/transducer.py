@@ -21,6 +21,10 @@ onto the next copy token so most lit+copy pairs cost one executor op):
   csrc:  copy back-reference distance (offset)
   lsrc:  compressed-stream row of the first literal byte
   llen:  literal run length (0 when the copy has no attached literals)
+  lacc:  the run's first four literal bytes packed little-endian — free to
+         collect here (the transducer touches every byte in lockstep) and
+         lets the executor materialize short literal runs straight from
+         the op word, with no compressed-window gather (exec_chain v2)
 A held literal is flushed alone when another literal run begins or at the
 end-of-segment flush row (row == segment compressed length).
 """
@@ -43,7 +47,7 @@ STATE_FIELDS = (
     "lit_left", "have_pend", "pend_off", "pend_len",
     "pend_lsrc", "pend_llen",
     "have_lit", "hl_dst", "hl_src", "hl_len",
-    "dpos", "rep",
+    "dpos", "rep", "lit_acc", "lit_pos",
 )
 
 
@@ -206,6 +210,18 @@ def parse_step(st, byte, active, row, flush=None):
     lit_end = is_lit & (lit_left_dec == 0)
     emit_pend = lit_end & (st["have_pend"] == 1)
 
+    # First-four-bytes accumulator of the current literal run.  Only ONE
+    # run can be outstanding (a held run flushes when the next one begins,
+    # in the same step emission below reads the pre-reset value), so a
+    # single register serves plain runs, held runs, and fused literals.
+    do_acc = is_lit & (st["lit_pos"] < 4)
+    lacc_step = jnp.where(
+        do_acc,
+        st["lit_acc"] | ((byte & 255) << (8 * st["lit_pos"])),
+        st["lit_acc"],
+    )
+    lpos_step = st["lit_pos"] + is_lit.astype(jnp.int32)
+
     # ---------------- Emission -------------------------------------------
     # Literal runs are held (have_lit/hl_*) and attached to the next copy;
     # a held lit flushes alone when a new literal phase begins or at the
@@ -325,6 +341,12 @@ def parse_step(st, byte, active, row, flush=None):
         ),
         "dpos": jnp.where(active, dpos, st["dpos"]),
         "rep": jnp.where(active, rep, st["rep"]),
+        "lit_acc": jnp.where(
+            active, jnp.where(enter_lit, 0, lacc_step), st["lit_acc"]
+        ),
+        "lit_pos": jnp.where(
+            active, jnp.where(enter_lit, 0, lpos_step), st["lit_pos"]
+        ),
     }
     live = active | flush
     emit = (
@@ -334,5 +356,6 @@ def parse_step(st, byte, active, row, flush=None):
         jnp.where(live, op_csrc, 0),
         jnp.where(live, op_lsrc, 0),
         jnp.where(live, op_llen, 0),
+        jnp.where(live, lacc_step, 0),
     )
     return new_st, emit

@@ -40,7 +40,7 @@ def sharded_decode_parse(mesh: Mesh, comp_mat, comp_lens):
     comp_mat:  [n_blocks, P, S] int32 packed compressed bytes (column =
                segment), sharded over the mesh's first axis.
     comp_lens: [n_blocks, S] int32 per-segment compressed lengths (< P).
-    Returns (op arrays [n_blocks, P, S] x6, global op offsets [n_blocks]).
+    Returns (op arrays [n_blocks, P, S] x7, global op offsets [n_blocks]).
     """
     from jax.experimental.shard_map import shard_map
 
@@ -62,7 +62,7 @@ def sharded_decode_parse(mesh: Mesh, comp_mat, comp_lens):
         per_device,
         mesh=mesh,
         in_specs=(P(axis, None, None), P(axis, None)),
-        out_specs=(*([P(axis, None, None)] * 6), P(axis)),
+        out_specs=(*([P(axis, None, None)] * 7), P(axis)),
         check_rep=False,
     )
     return jax.jit(fn)(comp_mat, comp_lens)

@@ -71,6 +71,7 @@ class Writer:
         encoder_backend=None,
         device: bool = False,
         device_emit: bool = False,
+        mesh=None,
         parse_hints: bool | None = None,
         search_table=None,
         sidecar=None,
@@ -100,6 +101,13 @@ class Writer:
         # encode_emit) — no host serializer in the loop at a measured
         # throughput/ratio cost; for host-CPU-free pipelines.
         self._device_emit = device_emit
+        # mesh: a jax.sharding.Mesh — block batches are sharded data-
+        # parallel over its first axis (parallel/mesh.py collective
+        # pipeline; the reference Writer's goroutine concurrency,
+        # writer.go:214-272, as a device mesh).  Implies device emission.
+        if mesh is not None and not device:
+            raise ValueError("mesh= requires device=True")
+        self._mesh = mesh
         self._parse_hints = device if parse_hints is None else parse_hints
         self._search_cfg = search_table
         self._search_held = None  # raw block deferred for overlap indexing
@@ -503,11 +511,16 @@ class Writer:
         batch = self._dev_batch
         self._dev_batch = []
         try:
-            if self._device_emit:
-                results = [
-                    self._device_codec.encode_emit(d, self._level)
-                    for d, _ in batch
-                ]
+            if self._mesh is not None:
+                results = self._device_codec.encode_batch_mesh(
+                    self._mesh, [d for d, _ in batch], self._level
+                )
+            elif self._device_emit:
+                # One dispatch for the whole batch (the r4 writer paid a
+                # kernel launch per block here).
+                results = self._device_codec.encode_batch_emit(
+                    [d for d, _ in batch], self._level
+                )
             else:
                 results = self._device_codec.encode_batch(
                     [d for d, _ in batch], self._level

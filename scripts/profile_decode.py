@@ -70,12 +70,12 @@ def main():
     def parse_compact(comp_u8, lens_d):
         words_d, _ = prep(comp_u8)
         emits = pdk.parse_segments_pallas(words_d, lens_d, n_rows)
-        return pdk.compact_ops(*emits, max_ops)
+        return pdk.compact_ops(*emits[:6], max_ops)
 
     def full(comp_u8, lens_d):
         words_d, comp_flat = prep(comp_u8)
         emits = pdk.parse_segments_pallas(words_d, lens_d, n_rows)
-        packed, n_real = pdk.compact_ops(*emits, max_ops)
+        packed, n_real = pdk.compact_ops(*emits[:6], max_ops)
         return pdk.execute_ops_pallas(
             packed, n_real, comp_flat.reshape(-1, 128), max_ops, pc,
             n_out_rows, seg_rows)

@@ -56,7 +56,7 @@ def main():
         ct = ct.reshape(n_rows // 4, 4, sub, 128)
         words = (ct[:, 0] | (ct[:, 1] << 8) | (ct[:, 2] << 16)
                  | (ct[:, 3] << 24))
-        kind, dst, clen, csrc, lsrc, llen = parse_segments_pallas(
+        kind, dst, clen, csrc, lsrc, llen, _lacc = parse_segments_pallas(
             words, lens, n_rows)
         real = kind > 0
         q = dst & (ROW_B - 1)

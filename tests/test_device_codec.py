@@ -62,23 +62,28 @@ def test_device_levels_monotone(twain):
     assert sizes[-1] > sizes[2]  # fast level clearly trades ratio away
     for lo, hi in ((-1, 1), (1, 2), (2, 3)):
         assert sizes[hi] <= sizes[lo] * 1.005, sizes
-    # Absolute watermarks (measured r4): regressions in the device
-    # match finder or serializer must not drift past these.
+    # Absolute watermarks (ratcheted every round; r5 = proposal-DP +
+    # local-chain L3 serializer): regressions in the device match finder
+    # or serializer must not drift past these.
     assert sizes[1] <= 9280, sizes
-    assert sizes[3] <= 9260, sizes
+    assert sizes[3] <= 8850, sizes
 
 
 def test_device_ratio_vs_reference_golden(twain):
     """Reference-encoder anchor for the device path: the golden block
     (testdata/*.mzb, produced by the Go reference encoder) compresses
-    Twain to 8875 bytes; the device greedy encoder must stay within 12%
-    of that on the same input (it trades ratio for segment-parallel
-    decode; the host optimal-parse levels beat the golden outright,
-    tests/test_oracle.py::test_ratio_per_level)."""
+    Twain to 8875 bytes.  Device L3 (device proposals + segment beam DP,
+    native dp_segment) must BEAT the golden outright (measured 8681);
+    device L2's greedy parse stays within 4% (it trades ratio for
+    segment-parallel decode; the host optimal-parse levels beat the
+    golden too, tests/test_oracle.py::test_ratio_per_level)."""
     golden = open("testdata/Mark.Twain-Tom.Sawyer.txt.mzb", "rb").read()
-    block, _ = encode_block_device(twain, 4096, 0, 2)
-    assert odec.decode_block(block) == twain
-    assert len(block) <= len(golden) * 1.12, (len(block), len(golden))
+    block2, _ = encode_block_device(twain, 4096, 0, 2)
+    assert odec.decode_block(block2) == twain
+    assert len(block2) <= len(golden) * 1.04, (len(block2), len(golden))
+    block3, _ = encode_block_device(twain, 4096, 0, 3)
+    assert odec.decode_block(block3) == twain
+    assert len(block3) <= len(golden), (len(block3), len(golden))
 
 
 def test_device_decode_spec_max_block(twain):
