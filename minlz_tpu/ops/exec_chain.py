@@ -53,7 +53,8 @@ from jax.experimental.pallas import tpu as pltpu
 ROW_B = 512          # bytes per arena row (128 lanes x 4 packed bytes)
 PROW_B = 128         # bytes per arena row in PLANAR mode (1 byte per lane)
 MAXC = 16            # chains (static unroll)
-OP_T = 256           # ops per chain per grid step (SMEM tile)
+# Ops per chain per grid step (SMEM tile); env override for A/B probes.
+OP_T = int(os.environ.get("MINLZ_OP_T", "256"))
 # Encoder match-source clamp granularity (hints v2).  128 KiB costs ~0.2
 # ratio points less than 64 KiB (more reachable matches); a 1 MiB block
 # yields 8 independent ranges, and the batched decode path (4 blocks per
