@@ -1050,8 +1050,11 @@ def _make_fast_kernel(nchain: int, cap_chain: int, n_arena_rows: int):
                 act = a if act is None else (act | a)
             return act
 
-        unroll = 2 if _interpret() else int(
-            os.environ.get("MINLZ_UNROLL", "8")
+        # 8x on TPU (measured sweet spot; 16 regressed); interpret mode
+        # defaults to 2x to keep suite trace times down, but MINLZ_UNROLL
+        # overrides BOTH so a CPU test can pin the production 8x body.
+        unroll = int(
+            os.environ.get("MINLZ_UNROLL", "2" if _interpret() else "8")
         )
 
         def body(state):

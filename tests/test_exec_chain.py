@@ -220,3 +220,34 @@ def test_seg8192_device_roundtrip():
     segs = split_body(block[pos:], [h[0] for h in hints])
     got = ec.decode_block_chained(segs, len(data), seg, ec.RANGE)
     assert got == data
+
+
+def test_unroll8_body_bit_exact(monkeypatch):
+    """Pin the PRODUCTION 8x-unrolled executor body on CPU (r4 verdict:
+    interpret-mode tests ran only the 2x body that TPU never uses).  The
+    unroll factor only multiplies no-op passes for exhausted chains, so
+    output must be identical — this test proves it rather than arguing it."""
+    twain = open("testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()
+    seg, rng = 4096, ec.RANGE
+    blocks = [
+        (twain * 12)[: 48 << 10],
+        bytes(16 << 10),              # RLE zeros exercise the drain path
+    ]
+    segs = [_encode_segs(b, seg, rng) for b in blocks]
+
+    def run():
+        ec.execute_fast.clear_cache()
+        ec._decode_batch_jit.clear_cache()
+        return ec.decode_blocks_chained(
+            segs, [len(b) for b in blocks], seg, rng
+        )
+
+    try:
+        monkeypatch.setenv("MINLZ_UNROLL", "8")
+        got8 = run()
+    finally:
+        monkeypatch.delenv("MINLZ_UNROLL", raising=False)
+        ec.execute_fast.clear_cache()
+        ec._decode_batch_jit.clear_cache()
+    for g, b in zip(got8, blocks):
+        assert g == b
