@@ -462,3 +462,17 @@ def test_writer_mesh_stream_roundtrip(twain):
     # And through the plain host reader (spec conformance of the emitted
     # stream does not depend on the hint chunks).
     assert Reader(io.BytesIO(raw)).readall() == payload
+
+
+def test_writer_device_emit_batched_roundtrip(twain):
+    """Writer(device_emit=True): the whole writer batch serializes in ONE
+    device dispatch (DeviceCodec.encode_batch_emit) and the all-device
+    stream decodes bit-exact through both readers."""
+    payload = (twain * 8)[: 64 << 10]
+    buf = io.BytesIO()
+    with Writer(buf, device=True, device_emit=True, block_size=16 << 10,
+                add_index=False, concurrency=1) as w:
+        w.write(payload)
+    raw = buf.getvalue()
+    assert Reader(io.BytesIO(raw), device=True).readall() == payload
+    assert Reader(io.BytesIO(raw)).readall() == payload
