@@ -4,9 +4,9 @@ v2 of the decode execute phase (replaces the single scalar op walk in
 ``pallas_decode._make_exec_kernel`` for range-clamped streams).  Design is
 set by measured TPU primitives (scripts/kernel_probe.py): arbitrary per-lane
 gathers are serial, but dynamic whole-row loads/stores and lane-uniform
-rotates are fast, and N independent scalar chains overlap latency ~N-fold
-(266 ns/op at 1 chain -> 36 ns/op at 16).  So the executor walks C = 16
-independent op streams — contiguous segment ranges of the SAME block — in
+rotates are fast, and a few independent scalar chains overlap
+latency (the gather pipeline saturates at ~2 streams; see MAXC).  So the
+executor walks C = MAXC independent op streams — contiguous segment ranges of the SAME block — in
 one branch-free loop, each chain append-only at its own cursor.
 
 Correctness of chain parallelism: the encoder clamps every match source to
@@ -52,7 +52,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROW_B = 512          # bytes per arena row (128 lanes x 4 packed bytes)
 PROW_B = 128         # bytes per arena row in PLANAR mode (1 byte per lane)
-MAXC = 16            # chains (static unroll)
+# Chains (static unroll); env override for A/B probes.  r5 sweep on the
+# bench batch (ms/MB): 1 -> 25.9, 2 -> 23.9, 4 -> 24.4, 8 -> 24.5,
+# 16 -> 25.3, 24 -> 25.4, 32 crashes the Mosaic compiler.  The gather
+# pipeline saturates at ~2 concurrent streams — the executor is
+# gather-THROUGHPUT-bound, so extra chains only add per-pass skeleton
+# cost.  4 is the default: within noise of 2 on mixed data and the best
+# point on drain-heavy (RLE) batches, with robustness to imbalance.
+MAXC = int(os.environ.get("MINLZ_MAXC", "4"))
 # Ops per chain per grid step (SMEM tile); env override for A/B probes.
 OP_T = int(os.environ.get("MINLZ_OP_T", "256"))
 # Encoder match-source clamp granularity (hints v2).  128 KiB costs ~0.2
