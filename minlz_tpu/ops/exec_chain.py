@@ -863,6 +863,15 @@ def _make_fast_kernel(nchain: int, cap_chain: int, n_arena_rows: int):
             r0, r1 = _rows_patched(ch, o, row)
             return _realign(r0, r1, m, bs)
 
+        def window_f_aligned(ch, o, w):
+            """Word-aligned variant (bs == 0): one gather, no byte shift."""
+            row = w & _F15
+            m = (w >> 15) & 127
+            r0, r1 = _rows_patched(ch, o, row)
+            return jnp.take_along_axis(
+                jnp.where(iota >= m, r0, r1), (iota + m) & 127, axis=1
+            )
+
         def window(ch, o, byte_start):
             """Window from a byte address (drain path only)."""
             ws = byte_start >> 2
@@ -981,6 +990,14 @@ def _make_fast_kernel(nchain: int, cap_chain: int, n_arena_rows: int):
                     store(ch, o, row_c, window_f(ch, o, b),
                           bmask(q2, q2 + clen))
 
+                def _cpy_al(b=b, cw=cw, qv=qv, llen=llen, clen=clen):
+                    # Word-aligned source (~25% of copies): saves the
+                    # neighbor gather on the gather-throughput-bound unit.
+                    row_c = (cw & _F15) + ((cw >> 24) & 1)
+                    q2 = (qv + llen) & (ROW_B - 1)
+                    store(ch, o, row_c, window_f_aligned(ch, o, b),
+                          bmask(q2, q2 + clen))
+
                 if abl == "noop":
                     new.append(gidx)
                     continue
@@ -988,9 +1005,15 @@ def _make_fast_kernel(nchain: int, cap_chain: int, n_arena_rows: int):
                     _lit()
                     _cpy()
                 else:
+                    # The same split on the window-LIT slot regressed
+                    # (24.8 vs 23.2): post-inline, window lits are ~12%
+                    # of records and the extra branch predicates cost
+                    # more than the ~3% saved gathers.
+                    cbs = (b >> 22) & 3
                     pl.when(fastf & (inl == 1))(_ilit)
                     pl.when(fastf & (inl == 0) & (llen > 0))(_lit)
-                    pl.when(fastf & (clen > 0))(_cpy)
+                    pl.when(fastf & (clen > 0) & (cbs == 0))(_cpy_al)
+                    pl.when(fastf & (clen > 0) & (cbs != 0))(_cpy)
 
                 @pl.when(fire & slow)
                 def _enter(a=a, b=b, cw=cw):
